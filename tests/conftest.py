@@ -1,0 +1,30 @@
+"""Test configuration: run JAX on CPU with 8 virtual devices.
+
+Multi-chip sharding logic is validated on a virtual CPU mesh (standard JAX
+practice, cf. SURVEY.md §4) — tests never need real TPU hardware.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
+
+
+def random_board_np(rng, max_exp=11, p_zero=0.35):
+    """Random exponent board with a realistic zero fraction."""
+    b = rng.integers(0, max_exp + 1, size=(4, 4))
+    mask = rng.random((4, 4)) < p_zero
+    b = np.where(mask, 0, b)
+    return b.astype(np.int32)
