@@ -6,7 +6,9 @@ practice, cf. SURVEY.md §4) — tests never need real TPU hardware.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Hard override: the session environment may pin JAX_PLATFORMS to a TPU plugin
+# (e.g. 'axon'); tests must run on CPU with virtual devices regardless.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -1,0 +1,129 @@
+"""Reward assembly, return-to-go, streaming normalization, advantage.
+
+Array re-implementation of the reference's calculate_advantage
+(train.py:651-904) over (T, N) trajectory tensors, reproducing its exact
+quirks:
+
+ * Only raw points + two PBRS potentials (monotonicity, emptiness) enter the
+   live reward (train.py:698-719); the other seven documented weights are
+   accepted but inert — they are logged, never applied.
+ * Normalization uses bias-corrected EMA moments with ``max(1-beta^step, eps)``
+   (train.py:744-754) — and the moments are updated from batch statistics only
+   AFTER the batch was normalized with the old moments (train.py:892-901).
+ * Advantage = normalized RTG - predicted value (value head lives in the
+   normalized space; no GAE) (train.py:762-772).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+EPS = 1e-8
+
+
+@dataclass(frozen=True)
+class RewardWeights:
+    """All nine documented weights + win bonus (reference train.py:651-669).
+    Only ``points``, ``monotonicity`` and ``emptiness`` affect the reward."""
+
+    points: float = 0.0
+    smoothness: float = 0.0
+    max_tile: float = 0.0
+    corner: float = 0.0
+    adjacency: float = 0.0
+    chain: float = 0.0
+    monotonicity: float = 0.0
+    emptiness: float = 0.0
+    topological: float = 0.0
+    win_bonus: float = 0.0
+
+
+class RtgMoments(NamedTuple):
+    """Streaming RTG moment state (train.py:1550-1552 initial values)."""
+
+    mu: jnp.ndarray  # EMA of E[G]
+    m2: jnp.ndarray  # EMA of E[G^2]
+    first_moment: jnp.ndarray  # kept aliased to mu (train.py:898-901)
+
+    @staticmethod
+    def initial() -> "RtgMoments":
+        return RtgMoments(jnp.zeros(()), jnp.ones(()), jnp.zeros(()))
+
+
+def step_rewards(points, mono_before, mono_after, empt_before, empt_after,
+                 weights: RewardWeights, gamma: float) -> jnp.ndarray:
+    """reward = points_w*points + PBRS(monotonicity) + PBRS(emptiness)
+    (train.py:698-719). PBRS terms: w * (gamma*phi_after - phi_before)."""
+    r = weights.points * points.astype(jnp.float32)
+    r = r + weights.monotonicity * (gamma * mono_after.astype(jnp.float32)
+                                    - mono_before.astype(jnp.float32))
+    r = r + weights.emptiness * (gamma * empt_after.astype(jnp.float32)
+                                 - empt_before.astype(jnp.float32))
+    return r
+
+
+def returns_to_go(rewards: jnp.ndarray, valid: jnp.ndarray, gamma: float) -> jnp.ndarray:
+    """Discounted backward scan per env: G_t = r_t + gamma*G_{t+1}
+    (train.py:721-728). rewards/valid: (T, N); steps past the episode end have
+    reward 0 so the tail contributes nothing."""
+    r = jnp.where(valid, rewards, 0.0)
+
+    def back(G, r_t):
+        G = r_t + gamma * G
+        return G, G
+
+    _, G = jax.lax.scan(back, jnp.zeros(r.shape[1:]), r, reverse=True)
+    return G
+
+
+def normalize_rtg(G: jnp.ndarray, valid: jnp.ndarray, moments: RtgMoments,
+                  rtg_beta: float, rtg_step) -> tuple:
+    """Normalize with bias-corrected OLD moments, then fold the batch stats
+    into the moments (the reference's deliberate ordering, train.py:744-760 +
+    892-901). ``rtg_step`` is the 1-indexed train step.
+
+    Returns (G_norm (T,N), new_moments, batch_mean, batch_var).
+    """
+    w = valid.astype(jnp.float32)
+    n = jnp.maximum(jnp.sum(w), 1.0)
+    batch_mean = jnp.sum(G * w) / n
+    batch_var = jnp.sum(jnp.square(G - batch_mean) * w) / n
+
+    bias_correction = jnp.maximum(1.0 - rtg_beta ** jnp.maximum(rtg_step, 1), EPS)
+    mu_c = moments.mu / bias_correction
+    m2_c = moments.m2 / bias_correction
+    var = jnp.maximum(m2_c - jnp.square(mu_c), EPS)
+    std = jnp.sqrt(var)
+    G_norm = (G - mu_c) / (std + EPS)
+
+    new_mu = rtg_beta * moments.mu + (1.0 - rtg_beta) * batch_mean
+    new_m2 = rtg_beta * moments.m2 + (1.0 - rtg_beta) * (batch_var + jnp.square(batch_mean))
+    new_moments = RtgMoments(new_mu, new_m2, new_mu)
+    return G_norm, new_moments, batch_mean, batch_var
+
+
+def compute(traj_points, mono_b, mono_a, empt_b, empt_a, value_pred, valid,
+            weights: RewardWeights, gamma: float, moments: RtgMoments,
+            rtg_beta: float, rtg_step) -> dict:
+    """Full advantage pipeline over (T, N) arrays. Returns a dict with
+    reward, G_raw, G_norm, advantage (all (T, N)) and new_moments."""
+    reward = step_rewards(traj_points, mono_b, mono_a, empt_b, empt_a, weights, gamma)
+    reward = jnp.where(valid, reward, 0.0)
+    G_raw = returns_to_go(reward, valid, gamma)
+    G_norm, new_moments, batch_mean, batch_var = normalize_rtg(
+        G_raw, valid, moments, rtg_beta, rtg_step
+    )
+    advantage = G_norm - value_pred
+    return dict(
+        reward=reward,
+        G_raw=G_raw,
+        G_norm=G_norm,
+        advantage=advantage,
+        new_moments=new_moments,
+        batch_mean=batch_mean,
+        batch_var=batch_var,
+    )

@@ -1,0 +1,87 @@
+"""Symmetry data augmentation (reference train.py:774-881), vectorized.
+
+The reference samples ``upsample_ratio * N`` steps and, per sampled step,
+independently emits a mirrored copy (50%, random h/v axis) and a rotated copy
+(50%, random 90/180/270), remapping action / action-mask / behavior logprobs
+through the same permutation; advantage and normalized RTG are reused
+unchanged from the source step.
+
+Fixed-shape version: ``num_slots`` slots are drawn (with replacement — the
+reference samples without replacement; at the default ratios the collision
+probability is negligible and this keeps the program shape-static), each slot
+yields a mirror candidate and a rotation candidate with validity flags, so the
+output capacity is ``2 * num_slots``. The reference's crash on an empty
+augmentation batch (train.py:1716, IndexError when upsample_ratio=0) is
+deliberately NOT reproduced — empty augmentation is simply an all-invalid
+buffer.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..env import symmetry
+from ..models.encoding import encode_boards
+
+
+class AugmentedSteps(NamedTuple):
+    """(A, ...) flat augmented samples, A = 2 * num_slots."""
+
+    board_before: jnp.ndarray  # (A, 4, 4) int8 (transformed)
+    board_after: jnp.ndarray  # (A, 4, 4) int8 (transformed result_state)
+    action: jnp.ndarray  # (A,) int32 (remapped)
+    action_mask: jnp.ndarray  # (A, 4) bool (permuted)
+    logprobs: jnp.ndarray  # (A, 4) f32 (permuted)
+    advantage: jnp.ndarray  # (A,) f32 (reused from source)
+    G_norm: jnp.ndarray  # (A,) f32 (reused from source)
+    points: jnp.ndarray  # (A,) i32 (for the augmented pseudo-episode stats)
+    valid: jnp.ndarray  # (A,) bool
+
+
+def augment(key: jax.Array, num_slots: int, num_to_sample, flat_valid,
+            board_before, board_after, action, action_mask, logprobs,
+            advantage, G_norm, points) -> AugmentedSteps:
+    """Sample and transform augmented steps.
+
+    All step inputs are flat (S, ...) arrays with (S,) ``flat_valid``;
+    ``num_to_sample`` is the (traced) number of slots actually used =
+    int(valid_count * upsample_ratio), clipped to num_slots.
+    """
+    S = flat_valid.shape[0]
+    k_src, k_mflag, k_maxis, k_rflag, k_rot = jax.random.split(key, 5)
+
+    # Uniform choice among valid source steps, per slot (with replacement).
+    logits = jnp.where(flat_valid, 0.0, -jnp.inf)
+    src = jax.random.categorical(k_src, logits, shape=(num_slots,))
+    slot_used = jnp.arange(num_slots) < num_to_sample
+
+    mirror_flag = jax.random.bernoulli(k_mflag, 0.5, (num_slots,))
+    mirror_tf = jnp.where(
+        jax.random.bernoulli(k_maxis, 0.5, (num_slots,)),
+        symmetry.MIRROR_H, symmetry.MIRROR_V,
+    )
+    rotate_flag = jax.random.bernoulli(k_rflag, 0.5, (num_slots,))
+    rotate_tf = jax.random.randint(k_rot, (num_slots,), symmetry.ROT90,
+                                   symmetry.ROT270 + 1)
+
+    tf = jnp.concatenate([mirror_tf, rotate_tf])  # (A,)
+    src2 = jnp.concatenate([src, src])
+    valid = jnp.concatenate([slot_used & mirror_flag, slot_used & rotate_flag])
+    valid = valid & jnp.take(flat_valid, src2)
+
+    bb = jnp.take(board_before, src2, axis=0).astype(jnp.int32)
+    ba = jnp.take(board_after, src2, axis=0).astype(jnp.int32)
+    return AugmentedSteps(
+        board_before=symmetry.transform_board(bb, tf).astype(jnp.int8),
+        board_after=symmetry.transform_board(ba, tf).astype(jnp.int8),
+        action=symmetry.transform_action(jnp.take(action, src2).astype(jnp.int32), tf),
+        action_mask=symmetry.transform_action_vector(jnp.take(action_mask, src2, axis=0), tf),
+        logprobs=symmetry.transform_action_vector(jnp.take(logprobs, src2, axis=0), tf),
+        advantage=jnp.take(advantage, src2),
+        G_norm=jnp.take(G_norm, src2),
+        points=jnp.take(points, src2),
+        valid=valid,
+    )

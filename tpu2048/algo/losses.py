@@ -1,0 +1,111 @@
+"""PPO-clip actor-critic loss + KL diagnostic (reference train.py:414-642).
+
+Reproduced semantics, including the numerically quirky bits:
+
+ * Policy logprobs come from logits masked to -inf at invalid actions
+   (train.py:497-500); the log-ratio is clamped to ±20 pre-exp and the ratio
+   clipped to [1-eps, 1+eps] with eps=0.2 (train.py:517-523).
+ * The entropy bonus uses a SEPARATE distribution: the -inf-masked logits are
+   clamped to [-20, 20] (so invalid actions re-enter at logit -20!) before a
+   full 4-way log_softmax, then -sum p*logp over VALID entries only
+   (train.py:531-541).
+ * Value loss is smooth-L1 (Huber, delta=1) against the normalized RTG
+   (train.py:543-546).
+ * loss = -mean(ppo_clip - critic*value_loss + beta*entropy) (train.py:553-554).
+ * After each optimizer step a second forward computes KL(old || new) over the
+   valid-renormalized distributions as a diagnostic (train.py:577-601).
+
+All means are weighted so padded samples in a fixed-shape minibatch contribute
+nothing.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -jnp.inf
+PPO_EPS = 0.2
+LOGIT_CLAMP = 20.0
+
+
+def _wmean(x, w):
+    return jnp.sum(x * w) / jnp.maximum(jnp.sum(w), 1.0)
+
+
+class LossStats(NamedTuple):
+    loss: jnp.ndarray
+    policy_loss: jnp.ndarray
+    entropy_loss: jnp.ndarray
+    value_loss: jnp.ndarray
+    entropy: jnp.ndarray
+
+
+def smooth_l1(pred, target):
+    """torch F.smooth_l1_loss (beta=1): 0.5 x^2 if |x|<1 else |x|-0.5."""
+    d = jnp.abs(pred - target)
+    return jnp.where(d < 1.0, 0.5 * d * d, d - 0.5)
+
+
+def ppo_loss(logits, values, targets, action_mask, advantage, rtg,
+             old_logprobs, weights, *, kl_strength, critic_strength):
+    """Scalar loss + stats for one minibatch.
+
+    logits (B,4), values (B,1), targets (B,), action_mask (B,4) True=invalid,
+    advantage/rtg/weights (B,), old_logprobs (B,4).
+    """
+    masked = jnp.where(action_mask, NEG_INF, logits)
+    all_invalid = jnp.all(action_mask, axis=-1, keepdims=True)
+    safe_masked = jnp.where(all_invalid, 0.0, masked)  # padding rows only
+    new_policy_logprobs = jax.nn.log_softmax(safe_masked, axis=-1)
+
+    tgt = targets[:, None]
+    new_lp = jnp.take_along_axis(new_policy_logprobs, tgt, axis=-1)[:, 0]
+    old_lp = jnp.take_along_axis(old_logprobs, tgt, axis=-1)[:, 0]
+
+    log_ratio = jnp.clip(new_lp - old_lp, -LOGIT_CLAMP, LOGIT_CLAMP)
+    ratio = jnp.exp(log_ratio)
+    clipped = jnp.clip(ratio, 1.0 - PPO_EPS, 1.0 + PPO_EPS)
+    ppo_clip = jnp.minimum(advantage * ratio, advantage * clipped)
+
+    # Entropy from the clamped distribution (-inf -> -20 re-entry quirk).
+    clamped = jnp.clip(masked, -LOGIT_CLAMP, LOGIT_CLAMP)
+    lp2 = jax.nn.log_softmax(clamped, axis=-1)
+    plogp = jnp.where(action_mask, 0.0, lp2 * jnp.exp(lp2))
+    entropy = -jnp.sum(plogp, axis=-1)
+
+    value_l = smooth_l1(values[:, 0], rtg)
+
+    objective = ppo_clip - critic_strength * value_l + kl_strength * entropy
+    loss = -_wmean(objective, weights)
+
+    stats = LossStats(
+        loss=loss,
+        policy_loss=-_wmean(jax.lax.stop_gradient(ppo_clip), weights),
+        entropy_loss=-kl_strength * _wmean(jax.lax.stop_gradient(entropy), weights),
+        value_loss=critic_strength * _wmean(jax.lax.stop_gradient(value_l), weights),
+        entropy=_wmean(jax.lax.stop_gradient(entropy), weights),
+    )
+    return loss, stats
+
+
+def kl_old_new(old_logits, new_logits, action_mask, weights):
+    """Diagnostic KL(old || new) over valid actions with renormalized masked
+    log_softmax (train.py:594-601). Returns (kl_sum, kl_mean, kl_max) with
+    padding excluded."""
+    all_invalid = jnp.all(action_mask, axis=-1, keepdims=True)
+
+    def mls(z):
+        z = jnp.where(action_mask, NEG_INF, z)
+        return jax.nn.log_softmax(jnp.where(all_invalid, 0.0, z), axis=-1)
+
+    lp_old, lp_new = mls(old_logits), mls(new_logits)
+    terms = jnp.where(action_mask, 0.0, jnp.exp(lp_old) * (lp_old - lp_new))
+    kl = jnp.sum(terms, axis=-1)
+    kl = jnp.where(weights > 0, kl, 0.0)
+    kl_sum = jnp.sum(kl)
+    kl_mean = kl_sum / jnp.maximum(jnp.sum(weights), 1.0)
+    kl_max = jnp.max(kl)
+    return kl_sum, kl_mean, kl_max

@@ -1,0 +1,224 @@
+"""Fused on-device rollout: N games to completion inside one jitted while_loop.
+
+This is the capability the reference *intended* to have but shipped without
+(``from batched_rollout import play_games_batched``, train.py:30, module
+missing). One iteration = one synchronized step of all N games:
+
+    all_moves (fused 4-direction merge)  ->  action mask + reward preview
+    policy forward (eval mode)           ->  masked categorical sample
+    transition + spawn                   ->  next boards
+    live PBRS potentials (monotonicity, emptiness) before/after the move
+
+matching the per-step record of the reference's play_game_for_episode
+(train.py:213-345) — including its quirks: the terminal step zeroes
+monotonicity_after/emptiness_after (train.py:318-322), and total_steps counts
+len(moves)-1 for naturally-ended games (train.py:335-343).
+
+The loop is a ``lax.while_loop`` writing into preallocated (T, N, ...) buffers,
+so compute stops as soon as every game is finished — no wasted tail iterations,
+no host round trips mid-rollout.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..env import engine, heuristics
+from ..models.encoding import encode_boards
+
+NEG_INF = -jnp.inf
+
+
+class Trajectory(NamedTuple):
+    """(T, N, ...) step records + (N,) episode summaries."""
+
+    board_before: jnp.ndarray  # (T, N, 4, 4) int8 — state_before
+    board_after: jnp.ndarray  # (T, N, 4, 4) int8 — result_state (post-spawn)
+    action: jnp.ndarray  # (T, N) int8
+    logprobs: jnp.ndarray  # (T, N, 4) f32 — behavior-policy log-softmax
+    action_mask: jnp.ndarray  # (T, N, 4) bool, True = invalid
+    value_pred: jnp.ndarray  # (T, N) f32
+    entropy: jnp.ndarray  # (T, N) f32
+    points: jnp.ndarray  # (T, N) i32 — merge points this move
+    preview: jnp.ndarray  # (T, N, 4) i32 — points_possible per direction
+    max_created: jnp.ndarray  # (T, N) i8 — max exponent created
+    mono_before: jnp.ndarray  # (T, N) i32
+    mono_after: jnp.ndarray  # (T, N) i32 (0 on terminal step)
+    empt_before: jnp.ndarray  # (T, N) i32
+    empt_after: jnp.ndarray  # (T, N) i32 (0 on terminal step)
+    valid: jnp.ndarray  # (T, N) bool — step actually played
+    done_here: jnp.ndarray  # (T, N) bool — step ended the episode
+    # episode-level
+    final_board: jnp.ndarray  # (N, 4, 4) int8
+    total_points: jnp.ndarray  # (N,) i32
+    num_moves: jnp.ndarray  # (N,) i32 — len(moves)
+    ended: jnp.ndarray  # (N,) bool — ended naturally (not cap-cut)
+    steps_executed: jnp.ndarray  # () i32 — while-loop trip count
+
+    @property
+    def total_steps(self) -> jnp.ndarray:
+        """Reference accounting: the 1-indexed step counter skips the terminal
+        move, so naturally-ended games report len(moves)-1 (train.py:335-343)."""
+        return self.num_moves - self.ended.astype(jnp.int32)
+
+
+def _empty_traj(T: int, N: int) -> dict:
+    z = jnp.zeros
+    return dict(
+        board_before=z((T, N, 4, 4), jnp.int8),
+        board_after=z((T, N, 4, 4), jnp.int8),
+        action=z((T, N), jnp.int8),
+        logprobs=z((T, N, 4), jnp.float32),
+        action_mask=z((T, N, 4), jnp.bool_),
+        value_pred=z((T, N), jnp.float32),
+        entropy=z((T, N), jnp.float32),
+        points=z((T, N), jnp.int32),
+        preview=z((T, N, 4), jnp.int32),
+        max_created=z((T, N), jnp.int8),
+        mono_before=z((T, N), jnp.int32),
+        mono_after=z((T, N), jnp.int32),
+        empt_before=z((T, N), jnp.int32),
+        empt_after=z((T, N), jnp.int32),
+        valid=z((T, N), jnp.bool_),
+        done_here=z((T, N), jnp.bool_),
+    )
+
+
+def masked_policy(logits: jnp.ndarray, invalid_mask: jnp.ndarray) -> tuple:
+    """(masked_logits, logprobs, entropy) with the reference's conventions:
+    invalid logits -> -inf, logprobs = log_softmax of the masked logits
+    (train.py:268-291, 326), entropy over the >0-probability entries."""
+    masked = jnp.where(invalid_mask, NEG_INF, logits)
+    # Safe fallback for all-invalid rows (finished games): uniform.
+    all_invalid = jnp.all(invalid_mask, axis=-1, keepdims=True)
+    safe = jnp.where(all_invalid, 0.0, masked)
+    logprobs = jax.nn.log_softmax(safe, axis=-1)
+    probs = jnp.exp(logprobs)
+    plogp = jnp.where(invalid_mask, 0.0, probs * logprobs)
+    entropy = -jnp.sum(plogp, axis=-1)
+    return safe, logprobs, entropy
+
+
+def rollout(apply_fn, params, key: jax.Array, num_envs: int, max_steps: int,
+            env_key: jax.Array | None = None) -> Trajectory:
+    """Play ``num_envs`` games to completion (or ``max_steps``).
+
+    ``apply_fn(params, inputs) -> (logits, value)`` must be the eval-mode
+    forward. RNG is split into two independent chains, mirroring the
+    reference's split-RNG eval semantics (train.py:227-229 seeds only the
+    Python RNG driving resets/spawns, while torch.multinomial stays unseeded):
+    ``env_key`` drives resets and tile spawns, ``key`` drives action sampling.
+    Passing a fixed ``env_key`` gives a deterministic environment stream with
+    stochastic policy draws, exactly the reference's "seeded eval".
+    """
+    T, N = max_steps, num_envs
+    if env_key is None:
+        key, env_key = jax.random.split(key)
+    env_key, reset_key = jax.random.split(env_key)
+    boards0 = engine.reset(reset_key, (N,))
+    moves0 = engine.all_moves(boards0)
+
+    buffers = _empty_traj(T, N)
+    carry0 = dict(
+        t=jnp.zeros((), jnp.int32),
+        key=key,
+        env_key=env_key,
+        boards=boards0,
+        moves=moves0,
+        alive=jnp.ones((N,), jnp.bool_),
+        total_points=jnp.zeros((N,), jnp.int32),
+        num_moves=jnp.zeros((N,), jnp.int32),
+        ended=jnp.zeros((N,), jnp.bool_),
+        final_board=boards0.astype(jnp.int8),
+        buffers=buffers,
+    )
+
+    def cond(c):
+        return jnp.logical_and(c["t"] < T, jnp.any(c["alive"]))
+
+    def body(c):
+        t, boards, moves, alive = c["t"], c["boards"], c["moves"], c["alive"]
+        key, k_act = jax.random.split(c["key"])
+        env_key, k_spawn = jax.random.split(c["env_key"])
+
+        invalid = moves.action_mask  # (N, 4) True = invalid
+        enc = encode_boards(boards)
+        logits, value = apply_fn(params, enc)
+        masked, logprobs, entropy = masked_policy(logits, invalid)
+        action = jax.random.categorical(k_act, masked, axis=-1).astype(jnp.int32)
+
+        mono_b, empt_b = heuristics.monotonicity(boards), heuristics.emptiness(boards)
+
+        res = engine.step(boards, action, k_spawn, moves=moves)
+        # Post-move, PRE-spawn board for the "after" potentials
+        # (reference computes them before the random spawn, game.py:994-1002).
+        sel = action[None, :, None, None]
+        moved = jnp.squeeze(jnp.take_along_axis(moves.boards, sel, axis=0), axis=0)
+        mono_a, empt_a = heuristics.monotonicity(moved), heuristics.emptiness(moved)
+
+        done = res.done
+        # Terminal-step potential zeroing (train.py:318-322).
+        mono_a = jnp.where(done, 0, mono_a)
+        empt_a = jnp.where(done, 0, empt_a)
+
+        b = c["buffers"]
+        w = alive  # only record for games still running
+
+        def put(name, val):
+            b[name] = b[name].at[t].set(
+                jnp.where(w.reshape((N,) + (1,) * (val.ndim - 1)), val,
+                          b[name][t]))
+
+        put("board_before", boards.astype(jnp.int8))
+        put("board_after", res.board.astype(jnp.int8))
+        put("action", action.astype(jnp.int8))
+        put("logprobs", logprobs)
+        put("action_mask", invalid)
+        put("value_pred", value[..., 0])
+        put("entropy", entropy)
+        put("points", res.reward)
+        put("preview", moves.preview_rewards)
+        put("max_created", res.max_created.astype(jnp.int8))
+        put("mono_before", mono_b)
+        put("mono_after", mono_a)
+        put("empt_before", empt_b)
+        put("empt_after", empt_a)
+        put("valid", alive)
+        put("done_here", done & alive)
+
+        new_alive = alive & jnp.logical_not(done)
+        c = dict(
+            t=t + 1,
+            key=key,
+            env_key=env_key,
+            boards=res.board,
+            moves=res.moves,
+            alive=new_alive,
+            total_points=c["total_points"] + jnp.where(alive, res.reward, 0),
+            num_moves=c["num_moves"] + alive.astype(jnp.int32),
+            ended=c["ended"] | (done & alive),
+            final_board=jnp.where(alive[:, None, None], res.board.astype(jnp.int8),
+                                  c["final_board"]),
+            buffers=b,
+        )
+        return c
+
+    out = jax.lax.while_loop(cond, body, carry0)
+    return Trajectory(
+        **out["buffers"],
+        final_board=out["final_board"],
+        total_points=out["total_points"],
+        num_moves=out["num_moves"],
+        ended=out["ended"],
+        steps_executed=out["t"],
+    )
+
+
+@partial(jax.jit, static_argnums=(0, 3, 4))
+def rollout_jit(apply_fn, params, key, num_envs: int, max_steps: int,
+                env_key=None):
+    return rollout(apply_fn, params, key, num_envs, max_steps, env_key)

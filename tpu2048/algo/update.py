@@ -1,0 +1,171 @@
+"""The learner update: shuffled minibatch PPO epochs with per-minibatch
+optimizer stepping (reference train.py:414-642), as one jitted program.
+
+Faithful structural choices:
+ * The optimizer steps once per MINIBATCH; the LR schedule ticks once per
+   train step (train.py:567-568 vs 625) — the schedule multiplier is an input.
+ * PPO epochs reshuffle and replay the same rollout (train.py:458-459).
+ * After every optimizer step, a second (train-mode) forward computes the
+   KL(old||new) diagnostic (train.py:577-601) — kept, because its metrics are
+   part of the logging surface; disable with ``kl_diagnostic=False`` for speed.
+ * The dataset is fixed-capacity with a validity mask; valid samples are
+   shuffled to the front each epoch so exactly ceil(S/batch) minibatches run,
+   the last one partially masked — same update count and batch composition as
+   the reference's DataLoader. The minibatch loop is a ``lax.while_loop`` with
+   a dynamic trip count, so one compilation serves every rollout size.
+
+Dropout is live in both forwards (the reference keeps the model in train()
+mode during optimization); each minibatch gets fresh dropout keys.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..models.encoding import encode_boards
+from ..ops import optimizer as opt
+from . import losses
+
+
+class Dataset(NamedTuple):
+    """Flat (S_cap, ...) training samples (real rollout steps + augmented)."""
+
+    board_before: jnp.ndarray  # (S, 4, 4) int8 — encoded lazily per minibatch
+    action: jnp.ndarray  # (S,) int32
+    action_mask: jnp.ndarray  # (S, 4) bool
+    advantage: jnp.ndarray  # (S,) f32
+    G_norm: jnp.ndarray  # (S,) f32
+    logprobs: jnp.ndarray  # (S, 4) f32
+    valid: jnp.ndarray  # (S,) bool
+
+
+class OptimizeStats(NamedTuple):
+    loss: jnp.ndarray
+    policy_loss: jnp.ndarray
+    entropy_loss: jnp.ndarray
+    value_loss: jnp.ndarray
+    grad_norm: jnp.ndarray
+    entropy: jnp.ndarray
+    kl_total: jnp.ndarray
+    kl_average: jnp.ndarray
+    kl_max: jnp.ndarray
+    num_batches: jnp.ndarray
+
+
+def make_optimize_fn(apply_fn, labels, opt_config: opt.OptimizerConfig,
+                     batch_size: int, epochs: int, kl_diagnostic: bool = True):
+    """Build optimize(params, opt_state, dataset, key, beta, critic_strength,
+    schedule_mult) -> (params, opt_state, OptimizeStats).
+
+    ``apply_fn(params, inputs, rng)`` must be the TRAIN-mode forward
+    (dropout active when rng is not None)."""
+
+    def loss_fn(params, batch, weights, beta, critic_strength, rng):
+        inputs = encode_boards(batch["board"].astype(jnp.int32))
+        logits, values = apply_fn(params, inputs, rng)
+        loss, stats = losses.ppo_loss(
+            logits, values, batch["action"], batch["mask"], batch["advantage"],
+            batch["rtg"], batch["logprobs"], weights,
+            kl_strength=beta, critic_strength=critic_strength,
+        )
+        return loss, (stats, logits)
+
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+    def optimize(params, opt_state, dataset: Dataset, key, beta,
+                 critic_strength, schedule_mult):
+        S_cap = dataset.valid.shape[0]
+        S = jnp.sum(dataset.valid.astype(jnp.int32))
+        nb = jnp.maximum((S + batch_size - 1) // batch_size, 0)
+
+        zero = jnp.zeros(())
+        stats0 = dict(loss=zero, policy=zero, ent_loss=zero, value=zero,
+                      gnorm=zero, ent=zero, kl_total=zero, kl_avg=zero,
+                      kl_max=zero)
+
+        carry = dict(params=params, opt_state=opt_state, key=key, stats=stats0)
+
+        for _ in range(epochs):
+            k_perm, key_e, carry["key"] = jax.random.split(carry["key"], 3)
+            # Shuffle valid samples to the front.
+            rnd = jax.random.uniform(k_perm, (S_cap,))
+            rnd = jnp.where(dataset.valid, rnd, 2.0)
+            perm = jnp.argsort(rnd)
+            ds = dict(
+                board=jnp.take(dataset.board_before, perm, axis=0),
+                action=jnp.take(dataset.action, perm),
+                mask=jnp.take(dataset.action_mask, perm, axis=0),
+                advantage=jnp.take(dataset.advantage, perm),
+                rtg=jnp.take(dataset.G_norm, perm),
+                logprobs=jnp.take(dataset.logprobs, perm, axis=0),
+            )
+
+            def mb_cond(c):
+                return c["mb"] < nb
+
+            def mb_body(c):
+                mb = c["mb"]
+                start = mb * batch_size
+                batch = {
+                    k: jax.lax.dynamic_slice_in_dim(v, start, batch_size, axis=0)
+                    for k, v in ds.items()
+                }
+                weights = ((start + jnp.arange(batch_size)) < S).astype(jnp.float32)
+                k_drop, k_kl, new_key = jax.random.split(c["key"], 3)
+
+                (loss, (lstats, logits)), grads = grad_fn(
+                    c["params"], batch, weights, beta, critic_strength, k_drop
+                )
+                new_params, new_opt_state, gnorm = opt.update(
+                    grads, c["opt_state"], c["params"], labels, schedule_mult,
+                    opt_config,
+                )
+
+                st = dict(c["stats"])
+                if kl_diagnostic:
+                    new_logits, _ = apply_fn(
+                        new_params,
+                        encode_boards(batch["board"].astype(jnp.int32)),
+                        k_kl,
+                    )
+                    kl_sum, kl_mean, kl_max = losses.kl_old_new(
+                        logits, new_logits, batch["mask"], weights
+                    )
+                    st["kl_total"] = st["kl_total"] + kl_sum
+                    st["kl_avg"] = st["kl_avg"] + kl_mean
+                    st["kl_max"] = jnp.maximum(st["kl_max"], kl_max)
+                st["loss"] = st["loss"] + loss
+                st["policy"] = st["policy"] + lstats.policy_loss
+                st["ent_loss"] = st["ent_loss"] + lstats.entropy_loss
+                st["value"] = st["value"] + lstats.value_loss
+                st["gnorm"] = st["gnorm"] + gnorm
+                st["ent"] = st["ent"] + lstats.entropy
+                return dict(params=new_params, opt_state=new_opt_state,
+                            key=new_key, stats=st, mb=mb + 1)
+
+            carry_mb = dict(carry, mb=jnp.zeros((), jnp.int32))
+            carry_mb["key"] = key_e
+            out = jax.lax.while_loop(mb_cond, mb_body, carry_mb)
+            carry = dict(params=out["params"], opt_state=out["opt_state"],
+                         key=carry["key"], stats=out["stats"])
+
+        total_batches = jnp.maximum(nb * epochs, 1).astype(jnp.float32)
+        st = carry["stats"]
+        stats = OptimizeStats(
+            loss=st["loss"] / total_batches,
+            policy_loss=st["policy"] / total_batches,
+            entropy_loss=st["ent_loss"] / total_batches,
+            value_loss=st["value"] / total_batches,
+            grad_norm=st["gnorm"] / total_batches,
+            entropy=st["ent"] / total_batches,
+            kl_total=st["kl_total"] / total_batches,
+            kl_average=st["kl_avg"] / total_batches,
+            kl_max=st["kl_max"],
+            num_batches=total_batches,
+        )
+        return carry["params"], carry["opt_state"], stats
+
+    return optimize

@@ -1,0 +1,198 @@
+"""CLI: train / evaluate / export-demo / human / play / bench.
+
+Flag-compatible with the reference's typer app (train.py:1284-2301) — same
+option names and defaults — implemented with argparse (typer is not in this
+image). Enabled paths the reference ships disabled: ``evaluate`` is
+implemented (reference stub, train.py:1933-1943), ``train --model-type urm``
+works (reference exits, train.py:1528-1532), resume works (reference exits on
+``--model``, train.py:1508-1514).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _add_train_flags(p: argparse.ArgumentParser) -> None:
+    add = p.add_argument
+    add("--steps", "-s", type=int, default=1000, help="Number of training steps")
+    add("--model", "-m", dest="model_path", default=None,
+        help="Resume training from a train-state checkpoint directory")
+    add("--lr", dest="learning_rate", type=float, default=0.001)
+    add("--gamma", type=float, default=0.99, help="Discount factor")
+    add("--entropy", dest="entropy_strength", type=float, default=0.1)
+    add("--critic", dest="critic_strength", type=float, default=1.0)
+    add("--epsilon", type=float, default=1.0, help="(unused, kept for parity)")
+    add("--momentum", type=float, default=0.99, help="(unused, kept for parity)")
+    add("--episodes", dest="num_episodes", type=int, default=1)
+    add("--batch-size", dest="batch_size", type=int, default=1)
+    add("--epochs", dest="ppo_epochs", type=int, default=1)
+    add("--workers", "-w", type=int, default=1,
+        help="(unused: rollouts are batched on-device)")
+    add("--max-steps", dest="max_steps", type=int, default=None)
+    add("--hidden", "-H", dest="hidden_size", type=int, default=64)
+    add("--num-layers", "-l", dest="num_layers", type=int, default=2)
+    add("--model-type", "-t", dest="model_type", default="mlp")
+    add("--num-heads", dest="num_heads", type=int, default=4)
+    add("--num-loops", dest="num_loops", type=int, default=4)
+    add("--truncated-loops", dest="num_truncated_loops", type=int, default=1)
+    add("--print-freq", "-p", dest="print_frequency", type=int, default=10)
+    add("--show-last-steps", dest="show_last_steps", type=int, default=0)
+    add("--points", dest="points_weight", type=float, default=0.0)
+    add("--smoothness", dest="smoothness_weight", type=float, default=0.0)
+    add("--tile-bonus", dest="max_tile_weight", type=float, default=0.0)
+    add("--corner", dest="corner_weight", type=float, default=0.0)
+    add("--adjacency", dest="adjacency_weight", type=float, default=0.0)
+    add("--chain", dest="chain_weight", type=float, default=0.0)
+    add("--mono", dest="monotonicity_weight", type=float, default=0.0)
+    add("--warmup-steps", dest="warmup_steps", type=int, default=200)
+    add("--emptiness", dest="emptiness_weight", type=float, default=0.0)
+    add("--topo", dest="topological_weight", type=float, default=0.0)
+    add("--win-bonus", dest="win_bonus", type=float, default=0.0)
+    add("--gpu", action="store_true",
+        help="(accepted for parity; accelerator selection is JAX's)")
+    add("--viz-dir", dest="viz_dir", default=None)
+    add("--rtg-beta", dest="rtg_beta", type=float, default=0.9)
+    add("--log-dir", dest="log_dir", default=None)
+    add("--wandb", dest="use_wandb", action="store_true")
+    add("--wandb-project", dest="wandb_project", default="2048-rl")
+    add("--wandb-run", dest="wandb_run_name", default=None)
+    add("--eval-freq", dest="eval_freq", type=int, default=None)
+    add("--eval-games", dest="eval_games", type=int, default=100)
+    add("--critic-lr", dest="critic_lr", type=float, default=0.001)
+    add("--decouple-critic", dest="decouple_critic", action="store_true")
+    add("--upsample-ratio", dest="upsample_ratio", type=float, default=0.0)
+    add("--export-demo", dest="export_demo", action="store_true")
+    add("--checkpoint-dir", dest="checkpoint_dir", default="checkpoints")
+    add("--beta1", type=float, default=0.9)
+    add("--beta2", type=float, default=0.999)
+    add("--weight-decay", dest="weight_decay", type=float, default=0.01)
+    add("--adaptive-beta", dest="adaptive_beta", action="store_true")
+    add("--target-entropy", dest="target_entropy", type=float, default=0.7)
+    add("--beta-min", dest="beta_min", type=float, default=0.001)
+    add("--beta-max", dest="beta_max", type=float, default=1.0)
+    add("--beta-lr", dest="beta_lr", type=float, default=0.01)
+    # framework-native flags
+    add("--seed", type=int, default=0, help="PRNG seed (framework-native)")
+    add("--resume", action="store_true", help="Resume from checkpoint-dir")
+    add("--no-kl-diagnostic", dest="kl_diagnostic", action="store_false",
+        help="Skip the per-minibatch KL(old||new) extra forward")
+    add("--scan-cap", dest="scan_cap", type=int, default=4096,
+        help="Episode-length capacity of the fused rollout")
+    add("--checkpoint-freq", dest="checkpoint_freq", type=int, default=None)
+    add("--dropout", type=float, default=0.1)
+
+
+def cmd_train(args) -> None:
+    from .loop import TrainConfig, train
+
+    field_names = set(TrainConfig.__dataclass_fields__)
+    kwargs = {k: v for k, v in vars(args).items() if k in field_names}
+    if args.model_path:
+        kwargs["resume"] = True
+        kwargs["checkpoint_dir"] = args.model_path
+    train(TrainConfig(**kwargs))
+
+
+def cmd_evaluate(args) -> None:
+    from .evaluate import evaluate_checkpoint
+
+    evaluate_checkpoint(args.model_path, games=args.games, seed=args.seed,
+                        greedy=args.greedy)
+
+
+def cmd_export_demo(args) -> None:
+    from .evaluate import load_model_checkpoint
+    from .export import export_demo_assets
+    from .evaluate import play_best_of
+    from pathlib import Path
+    import json
+
+    params, model_cfg, model_type = load_model_checkpoint(args.model_path)
+    print(f"Model loaded (hidden_dim={model_cfg.hidden_dim}, "
+          f"num_layers={model_cfg.num_layers})")
+    if args.game_path:
+        src = Path(args.game_path)
+        data = json.loads(src.read_text())
+        out = Path(args.output_dir)
+        out.mkdir(parents=True, exist_ok=True)
+        demo = {"score": data.get("score", 0),
+                "total_steps": data.get("total_steps", len(data.get("moves", []))),
+                "moves": data.get("moves", [])}
+        (out / "best_game.json").write_text(json.dumps(demo, indent=2))
+        print(f"Game exported to {out / 'best_game.json'}")
+        best = None
+    else:
+        best = play_best_of(params, model_cfg, model_type,
+                            num_games=args.num_games, seed=args.seed)
+    export_demo_assets(params, model_cfg, model_type, best, args.output_dir)
+    print(f"\nDemo assets exported to {args.output_dir}/")
+    print("To test locally: cd web && python -m http.server 8000")
+
+
+def cmd_human(args) -> None:
+    from .play_cli import human_play
+
+    human_play()
+
+
+def cmd_play(args) -> None:
+    from .play_cli import watch_agent
+
+    watch_agent(model_path=args.model_path, delay=args.delay, seed=args.seed)
+
+
+def cmd_bench(args) -> None:
+    import bench as _bench  # repo-root bench.py
+
+    _bench.main()
+
+
+def main(argv=None) -> None:
+    parser = argparse.ArgumentParser(
+        prog="tpu2048", description="Train and evaluate 2048 AI agents (TPU-native)"
+    )
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p_train = sub.add_parser("train", help="Train an agent")
+    _add_train_flags(p_train)
+    p_train.set_defaults(fn=cmd_train)
+
+    p_eval = sub.add_parser("evaluate", help="Evaluate a trained agent")
+    p_eval.add_argument("model_path", help="Path to checkpoint directory or .npz")
+    p_eval.add_argument("--games", "-g", type=int, default=100)
+    p_eval.add_argument("--seed", type=int, default=0)
+    p_eval.add_argument("--greedy", action="store_true",
+                        help="Argmax actions instead of sampling")
+    p_eval.set_defaults(fn=cmd_evaluate)
+
+    p_exp = sub.add_parser("export-demo", help="Export demo assets for the web UI")
+    p_exp.add_argument("--model", "-m", dest="model_path",
+                       default="checkpoints", help="Checkpoint dir")
+    p_exp.add_argument("--game", "-g", dest="game_path", default=None)
+    p_exp.add_argument("--output", "-o", dest="output_dir", default="web/data")
+    p_exp.add_argument("--num-games", "-n", dest="num_games", type=int, default=10)
+    p_exp.add_argument("--gpu", action="store_true")
+    p_exp.add_argument("--batch-size", "-b", type=int, default=32)
+    p_exp.add_argument("--seed", type=int, default=0)
+    p_exp.set_defaults(fn=cmd_export_demo)
+
+    p_human = sub.add_parser("human", help="Play 2048 yourself (WASD/arrows)")
+    p_human.set_defaults(fn=cmd_human)
+
+    p_play = sub.add_parser("play", help="Watch an agent play")
+    p_play.add_argument("--model", "-m", dest="model_path", default=None)
+    p_play.add_argument("--delay", "-d", type=float, default=0.5)
+    p_play.add_argument("--seed", type=int, default=0)
+    p_play.set_defaults(fn=cmd_play)
+
+    p_bench = sub.add_parser("bench", help="Run the throughput benchmark")
+    p_bench.set_defaults(fn=cmd_bench)
+
+    args = parser.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

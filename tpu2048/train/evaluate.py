@@ -1,0 +1,124 @@
+"""Standalone evaluation (the reference's ``evaluate`` command is an
+unimplemented stub, train.py:1933-1943 — this one works) and batched
+best-game search for demo export."""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..algo import rollout as R
+from ..env import engine
+from ..models import MLPConfig, URMConfig, mlp, urm
+from . import checkpoint as CKPT
+from .loop import fetch_episode
+
+
+def load_model_checkpoint(path):
+    """Load (params, model_config, model_type) from a checkpoint directory
+    written by the train loop (best_model.{npz,json})."""
+    p = Path(path)
+    if p.is_dir():
+        name = "best_model" if CKPT.checkpoint_exists(p, "best_model") else "train_state"
+        with open(p / f"{name}.json") as f:
+            manifest = json.load(f)
+        cfg_dict = manifest.get("config", manifest.get("model_config", {}))
+        if "model_config" in manifest:
+            cfg_dict = manifest["model_config"]
+        model_type = manifest.get("model_type", "mlp")
+        if model_type == "urm":
+            mc = URMConfig(**cfg_dict)
+            template = urm.init(jax.random.key(0), mc)
+        else:
+            mc = MLPConfig(**cfg_dict)
+            template = mlp.init(jax.random.key(0), mc)
+        if name == "best_model":
+            tree, _ = CKPT.load_checkpoint(p, name, dict(params=template))
+            return tree["params"], mc, model_type
+        # train_state checkpoint: params live under 'params'
+        from ..ops import optimizer as opt
+        from ..algo.advantage import RtgMoments
+
+        labels = (urm if model_type == "urm" else mlp).param_labels(template)
+        full = dict(params=template, opt_state=opt.init(template, labels),
+                    moments=RtgMoments.initial(),
+                    key=jax.random.key_data(jax.random.key(0)))
+        tree, _ = CKPT.load_checkpoint(p, name, full)
+        return tree["params"], mc, model_type
+    raise FileNotFoundError(f"No checkpoint at {path}")
+
+
+def _apply_fn(model_cfg, model_type):
+    if model_type == "urm":
+        return lambda p, x: urm.apply(p, model_cfg, x)
+    return lambda p, x: mlp.apply(p, model_cfg, x)
+
+
+def run_eval(params, model_cfg, model_type, games: int, seed: int = 0,
+             max_steps: int = 4096, greedy: bool = False) -> dict:
+    apply_eval = _apply_fn(model_cfg, model_type)
+    if greedy:
+        base = apply_eval
+
+        def apply_greedy(p, x):
+            logits, v = base(p, x)
+            # Sharpen to argmax: categorical over logits*1e9 is a hard argmax.
+            return logits * 1e9, v
+
+        apply_eval = apply_greedy
+
+    @jax.jit
+    def go(p, key):
+        env_key = jax.random.key(12345)
+        traj = R.rollout(apply_eval, p, key, games, max_steps, env_key=env_key)
+        tiles = engine.max_tile_value(traj.final_board.astype(jnp.int32))
+        return traj.total_points, tiles
+
+    scores, tiles = go(params, jax.random.key(seed))
+    scores, tiles = np.asarray(scores), np.asarray(tiles)
+    return dict(
+        max_score=int(scores.max()),
+        avg_score=float(scores.mean()),
+        median_score=float(np.sort(scores)[len(scores) // 2]),
+        pct_512=float((tiles >= 512).mean() * 100),
+        pct_1024=float((tiles >= 1024).mean() * 100),
+        pct_2048=float((tiles >= 2048).mean() * 100),
+        scores=scores.tolist(),
+    )
+
+
+def evaluate_checkpoint(path, games: int = 100, seed: int = 0,
+                        greedy: bool = False) -> dict:
+    params, mc, mt = load_model_checkpoint(path)
+    print(f"Evaluating model from: {path}")
+    print(f"Running {games} evaluation games...")
+    m = run_eval(params, mc, mt, games, seed=seed, greedy=greedy)
+    print(f"Eval Results - Max: {m['max_score']}, Avg: {m['avg_score']:.1f}, "
+          f"Median: {m['median_score']:.0f}")
+    print(f"Tiles Reached - 512: {m['pct_512']:.1f}%, 1024: {m['pct_1024']:.1f}%, "
+          f"2048: {m['pct_2048']:.1f}%")
+    return m
+
+
+def play_best_of(params, model_cfg, model_type, num_games: int = 10,
+                 seed: int = 0, max_steps: int = 4096) -> dict:
+    """Play a batch and return the best episode as a host dict (for demo
+    export; reference export-demo's batched play, train.py:2028-2048)."""
+    apply_eval = _apply_fn(model_cfg, model_type)
+
+    @jax.jit
+    def go(p, key):
+        return R.rollout(apply_eval, p, key, num_games, max_steps)
+
+    traj = go(params, jax.random.key(seed))
+    scores = np.asarray(traj.total_points)
+    tiles = np.asarray(engine.max_tile_value(jnp.asarray(traj.final_board, jnp.int32)))
+    order = np.argsort(scores)[::-1]
+    print(f"Played {num_games} games — avg: {scores.mean():.0f}, "
+          f"best: {scores[order[0]]}, worst: {scores[order[-1]]}")
+    print(f"Max tiles reached: {sorted(set(tiles.tolist()), reverse=True)}")
+    return fetch_episode(traj, None, int(order[0]))

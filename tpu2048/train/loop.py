@@ -1,0 +1,540 @@
+"""Training loop: fused rollout -> advantage -> augmented minibatch PPO, with
+the reference's full observability surface (train.py:1284-1930 re-architected).
+
+Per train step the device runs TWO jitted programs (the host only logs):
+  1. rollout_fn      — N full games inside one while_loop (algo/rollout.py)
+  2. process_fn      — advantage + augmentation + minibatched PPO epochs with
+                       per-minibatch optimizer stepping + all batch statistics
+
+plus, at print/eval cadence, a jitted full-heuristics pass over the best
+episode (for breakdown tables / viz JSON) and a jitted seeded eval rollout.
+
+Fixes over the reference, on purpose (each documented):
+  * resume from a full train-state checkpoint (reference has none, §5.4);
+  * upsample_ratio=0 does not crash (reference train.py:1716 IndexError);
+  * GameURM is trainable (reference disables it, train.py:1528-1532).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field, asdict
+from functools import partial
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..algo import advantage as A
+from ..algo import augment as AUG
+from ..algo import rollout as R
+from ..algo import update as U
+from ..env import engine, heuristics
+from ..models import MLPConfig, URMConfig, mlp, urm
+from ..ops import OptimizerConfig, schedules
+from ..ops import optimizer as opt
+from ..utils import MetricLogger, printing, stats as S, viz_export
+from . import checkpoint as CKPT
+
+DEFAULT_SCAN_CAP = 4096  # longest recorded reference game: 1249 moves
+
+
+@dataclass
+class TrainConfig:
+    """Flag surface mirroring the reference CLI (train.py:1285-1455)."""
+
+    steps: int = 1000
+    learning_rate: float = 0.001
+    critic_lr: float = 0.001
+    gamma: float = 0.99
+    entropy_strength: float = 0.1
+    critic_strength: float = 1.0
+    num_episodes: int = 1
+    batch_size: int = 1
+    ppo_epochs: int = 1
+    max_steps: Optional[int] = None
+    hidden_size: int = 64
+    num_layers: int = 2
+    model_type: str = "mlp"
+    num_heads: int = 4
+    num_loops: int = 4
+    num_truncated_loops: int = 1
+    dropout: float = 0.1
+    print_frequency: int = 10
+    show_last_steps: int = 0
+    points_weight: float = 0.0
+    smoothness_weight: float = 0.0
+    max_tile_weight: float = 0.0
+    corner_weight: float = 0.0
+    adjacency_weight: float = 0.0
+    chain_weight: float = 0.0
+    monotonicity_weight: float = 0.0
+    emptiness_weight: float = 0.0
+    topological_weight: float = 0.0
+    win_bonus: float = 0.0
+    warmup_steps: int = 200
+    rtg_beta: float = 0.9
+    viz_dir: Optional[str] = None
+    log_dir: Optional[str] = None
+    use_wandb: bool = False
+    wandb_project: Optional[str] = "2048-rl"
+    wandb_run_name: Optional[str] = None
+    eval_freq: Optional[int] = None
+    eval_games: int = 100
+    decouple_critic: bool = False
+    upsample_ratio: float = 0.0
+    export_demo: bool = False
+    checkpoint_dir: Optional[str] = "checkpoints"
+    beta1: float = 0.9
+    beta2: float = 0.999
+    weight_decay: float = 0.01
+    adaptive_beta: bool = False
+    target_entropy: float = 0.7
+    beta_min: float = 0.001
+    beta_max: float = 1.0
+    beta_lr: float = 0.01
+    # framework-native additions
+    seed: int = 0
+    resume: bool = False
+    kl_diagnostic: bool = True
+    scan_cap: int = DEFAULT_SCAN_CAP
+    checkpoint_freq: Optional[int] = None  # full-state checkpoint cadence
+
+    @property
+    def rollout_cap(self) -> int:
+        return self.max_steps if self.max_steps else self.scan_cap
+
+    @property
+    def reward_weights(self) -> A.RewardWeights:
+        return A.RewardWeights(
+            points=self.points_weight,
+            smoothness=self.smoothness_weight,
+            max_tile=self.max_tile_weight,
+            corner=self.corner_weight,
+            adjacency=self.adjacency_weight,
+            chain=self.chain_weight,
+            monotonicity=self.monotonicity_weight,
+            emptiness=self.emptiness_weight,
+            topological=self.topological_weight,
+            win_bonus=self.win_bonus,
+        )
+
+
+def build_model(cfg: TrainConfig):
+    """(model_config, init_fn, apply_eval, apply_train, labels_fn)."""
+    if cfg.model_type.lower() == "mlp":
+        mc = MLPConfig(hidden_dim=cfg.hidden_size, num_layers=cfg.num_layers,
+                       dropout=cfg.dropout, decouple_critic=cfg.decouple_critic)
+        apply_eval = lambda p, x: mlp.apply(p, mc, x)
+        apply_train = lambda p, x, rng: mlp.apply(p, mc, x, train=True, rng=rng)
+        return mc, partial(mlp.init, config=mc), apply_eval, apply_train, mlp.param_labels
+    if cfg.model_type.lower() == "urm":
+        mc = URMConfig(hidden_dim=cfg.hidden_size, num_layers=cfg.num_layers,
+                       num_heads=cfg.num_heads, dropout=cfg.dropout,
+                       num_loops=cfg.num_loops,
+                       num_truncated_loops=cfg.num_truncated_loops)
+        apply_eval = lambda p, x: urm.apply(p, mc, x)
+        apply_train = lambda p, x, rng: urm.apply(p, mc, x, train=True, rng=rng)
+        return mc, partial(urm.init, config=mc), apply_eval, apply_train, urm.param_labels
+    raise ValueError(f"Unknown model type: {cfg.model_type}. Use 'mlp' or 'urm'.")
+
+
+def make_process_fn(cfg: TrainConfig, apply_train, labels, optimize_fn):
+    """One jitted post-rollout program: advantage -> augment -> PPO epochs ->
+    stats. Returns (params, opt_state, moments, outputs-dict)."""
+    T, N = cfg.rollout_cap, cfg.num_episodes
+    num_slots = int(np.ceil(T * N * max(cfg.upsample_ratio, 0.0))) if cfg.upsample_ratio > 0 else 0
+    weights = cfg.reward_weights
+
+    def process(params, opt_state, traj: R.Trajectory, moments, key, train_step,
+                beta):
+        sched_mult = schedules.cosine_with_warmup(
+            train_step - 1, cfg.warmup_steps, cfg.steps
+        )
+        adv = A.compute(
+            traj.points, traj.mono_before, traj.mono_after, traj.empt_before,
+            traj.empt_after, traj.value_pred, traj.valid, weights, cfg.gamma,
+            moments, cfg.rtg_beta, train_step,
+        )
+
+        S_real = T * N
+        flat_valid = traj.valid.reshape(S_real)
+        fb = lambda x: x.reshape((S_real,) + x.shape[2:])
+
+        if num_slots > 0:
+            k_aug, key = jax.random.split(key)
+            n_valid = jnp.sum(flat_valid.astype(jnp.int32))
+            num_to_sample = jnp.minimum(
+                (n_valid.astype(jnp.float32) * cfg.upsample_ratio).astype(jnp.int32),
+                num_slots,
+            )
+            aug = AUG.augment(
+                k_aug, num_slots, num_to_sample, flat_valid,
+                fb(traj.board_before), fb(traj.board_after),
+                fb(traj.action), fb(traj.action_mask), fb(traj.logprobs),
+                fb(adv["advantage"]), fb(adv["G_norm"]), fb(traj.points),
+            )
+            dataset = U.Dataset(
+                board_before=jnp.concatenate([fb(traj.board_before), aug.board_before]),
+                action=jnp.concatenate([fb(traj.action).astype(jnp.int32), aug.action]),
+                action_mask=jnp.concatenate([fb(traj.action_mask), aug.action_mask]),
+                advantage=jnp.concatenate([fb(adv["advantage"]), aug.advantage]),
+                G_norm=jnp.concatenate([fb(adv["G_norm"]), aug.G_norm]),
+                logprobs=jnp.concatenate([fb(traj.logprobs), aug.logprobs]),
+                valid=jnp.concatenate([flat_valid, aug.valid]),
+            )
+            aug_valid, aug_points = aug.valid, aug.points
+        else:
+            dataset = U.Dataset(
+                board_before=fb(traj.board_before),
+                action=fb(traj.action).astype(jnp.int32),
+                action_mask=fb(traj.action_mask),
+                advantage=fb(adv["advantage"]),
+                G_norm=fb(adv["G_norm"]),
+                logprobs=fb(traj.logprobs),
+                valid=flat_valid,
+            )
+            aug_valid = jnp.zeros((1,), jnp.bool_)
+            aug_points = jnp.zeros((1,), jnp.int32)
+
+        k_opt, key = jax.random.split(key)
+        new_params, new_opt_state, ostats = optimize_fn(
+            params, opt_state, dataset, k_opt, beta, cfg.critic_strength,
+            sched_mult,
+        )
+
+        dstats = S.device_stats(traj, adv, aug_valid, aug_points)
+        max_tiles = engine.max_tile_value(traj.final_board.astype(jnp.int32))
+        n_ep = jnp.float32(N)
+        outputs = dict(
+            dstats=dstats,
+            ostats=ostats._asdict(),
+            advantage=adv["advantage"],
+            G_raw=adv["G_raw"],
+            sched_mult=sched_mult,
+            batch_max_score=jnp.max(traj.total_points),
+            batch_avg_score=jnp.sum(traj.total_points) / n_ep,
+            pct_512=jnp.sum(max_tiles >= 512) / n_ep * 100.0,
+            pct_1024=jnp.sum(max_tiles >= 1024) / n_ep * 100.0,
+            pct_2048=jnp.sum(max_tiles >= 2048) / n_ep * 100.0,
+            best_idx=jnp.argmax(traj.total_points),
+        )
+        return new_params, new_opt_state, adv["new_moments"], outputs
+
+    return jax.jit(process)
+
+
+def make_episode_heuristics_fn():
+    """Jitted full-heuristics deltas for one episode's (T,4,4) board sequence
+    (used only at print cadence — the hot rollout computes just the two live
+    potentials)."""
+
+    @jax.jit
+    def fn(board_before, action):
+        b = board_before.astype(jnp.int32)
+        before = heuristics.full_suite(b)
+        anchor = heuristics.choose_anchor_corner(b)
+        moves = engine.all_moves(b)
+        sel = action.astype(jnp.int32)[None, :, None, None]
+        moved = jnp.squeeze(jnp.take_along_axis(moves.boards, sel, axis=0), axis=0)
+        after = dict(heuristics.full_suite(moved, anchor=anchor))
+        after["topological"] = heuristics.topological_score(moved, anchor)
+        before = dict(before)
+        before["topological"] = heuristics.topological_score(b, anchor)
+        return {
+            "smoothness_delta": after["smoothness"] - before["smoothness"],
+            "corner_delta": after["corner"] - before["corner"],
+            "adjacency_delta": after["adjacency"] - before["adjacency"],
+            "chain_delta": after["chain"] - before["chain"],
+            "topological_delta": after["topological"] - before["topological"],
+        }
+
+    return fn
+
+
+def fetch_episode(traj: R.Trajectory, advantage_tn, idx: int,
+                  heur_fn=None) -> dict:
+    """Materialize one episode as the host-side dict the printers/exporters
+    consume (the reference's EpisodeData shape, train.py:123-177)."""
+    n = int(traj.num_moves[idx])
+    sl = lambda x: np.asarray(x[:n, idx])
+    board_before = sl(traj.board_before).astype(int)
+    board_after = sl(traj.board_after).astype(int)
+    action = sl(traj.action).astype(int)
+    points = sl(traj.points).astype(int)
+    entropy = sl(traj.entropy)
+    advv = np.asarray(advantage_tn[:n, idx]) if advantage_tn is not None else np.zeros(n)
+    mono_b, mono_a = sl(traj.mono_before), sl(traj.mono_after)
+    empt_b, empt_a = sl(traj.empt_before), sl(traj.empt_after)
+    max_created = sl(traj.max_created).astype(int)
+
+    heur = None
+    if heur_fn is not None:
+        full = heur_fn(traj.board_before[:, idx], traj.action[:, idx])
+        heur = {k: np.asarray(v[:n]) for k, v in full.items()}
+
+    moves = []
+    for t in range(n):
+        m = {
+            "selected_direction": int(action[t]),
+            "state_before": board_before[t].tolist(),
+            "result_state": board_after[t].tolist(),
+            "points_earned": int(points[t]),
+            "entropy": float(entropy[t]),
+            "advantage": float(advv[t]),
+            "max_tile_created": int(max_created[t]),
+            "monotonicity_before": float(mono_b[t]),
+            "monotonicity_after": float(mono_a[t]),
+            "emptiness_before": float(empt_b[t]),
+            "emptiness_after": float(empt_a[t]),
+        }
+        if heur is not None:
+            for k in ("smoothness_delta", "corner_delta", "adjacency_delta",
+                      "chain_delta", "topological_delta"):
+                m[k] = float(heur[k][t])
+        moves.append(m)
+    return {
+        "moves": moves,
+        "total_points": int(traj.total_points[idx]),
+        "total_steps": int(traj.total_steps[idx]),
+        "final_state": np.asarray(traj.final_board[idx]).astype(int).tolist(),
+    }
+
+
+def make_eval_fn(cfg: TrainConfig, apply_eval):
+    """Seeded eval: fixed env stream (like the reference's random.seed(i),
+    train.py:227-229 — see rollout docstring), stochastic policy draws."""
+    T = cfg.rollout_cap
+    G = cfg.eval_games
+
+    @jax.jit
+    def eval_rollout(params, key):
+        env_key = jax.random.key(12345)  # fixed: same env stream every eval
+        traj = R.rollout(apply_eval, params, key, G, T, env_key=env_key)
+        scores = traj.total_points
+        max_tiles = engine.max_tile_value(traj.final_board.astype(jnp.int32))
+        sorted_scores = jnp.sort(scores)
+        n = jnp.float32(G)
+        return dict(
+            max_score=jnp.max(scores),
+            avg_score=jnp.sum(scores) / n,
+            median_score=sorted_scores[G // 2],
+            pct_512=jnp.sum(max_tiles >= 512) / n * 100.0,
+            pct_1024=jnp.sum(max_tiles >= 1024) / n * 100.0,
+            pct_2048=jnp.sum(max_tiles >= 2048) / n * 100.0,
+        )
+
+    return eval_rollout
+
+
+def train(cfg: TrainConfig) -> dict:
+    """Run training; returns a summary dict (final params under 'params')."""
+    logger = MetricLogger(
+        log_dir=cfg.log_dir,
+        experiment_name=f"train_{cfg.model_type}",
+        use_wandb=cfg.use_wandb,
+        wandb_project=cfg.wandb_project,
+        wandb_run_name=cfg.wandb_run_name,
+        wandb_config={k: v for k, v in asdict(cfg).items()},
+    )
+    logger.print(f"Using devices: {jax.devices()}")
+
+    model_cfg, init_fn, apply_eval, apply_train, labels_fn = build_model(cfg)
+    key = jax.random.key(cfg.seed)
+    key, k_init = jax.random.split(key)
+    params = init_fn(k_init)  # heads zeroed by default (train.py:1559-1567)
+    labels = labels_fn(params)
+
+    opt_cfg = OptimizerConfig(
+        learning_rate=cfg.learning_rate, critic_lr=cfg.critic_lr,
+        beta1=cfg.beta1, beta2=cfg.beta2, weight_decay=cfg.weight_decay,
+    )
+    opt_state = opt.init(params, labels)
+    moments = A.RtgMoments.initial()
+
+    optimize_fn = U.make_optimize_fn(
+        apply_train, labels, opt_cfg, cfg.batch_size, cfg.ppo_epochs,
+        kl_diagnostic=cfg.kl_diagnostic,
+    )
+    process_fn = make_process_fn(cfg, apply_train, labels, optimize_fn)
+    heur_fn = make_episode_heuristics_fn()
+    eval_fn = make_eval_fn(cfg, apply_eval) if cfg.eval_freq else None
+
+    N, T = cfg.num_episodes, cfg.rollout_cap
+    rollout_fn = jax.jit(
+        lambda p, k: R.rollout(apply_eval, p, k, N, T)
+    )
+
+    # Sanity forward on a fresh board (reference train.py:1627-1637).
+    from ..models.encoding import encode_boards
+
+    test_boards = engine.reset(jax.random.key(99), (1,))
+    tl, tv = apply_eval(params, encode_boards(test_boards))
+    logger.print(f"Initial action logits: {np.asarray(tl)}")
+    logger.print(f"Initial value logit: {np.asarray(tv)}")
+
+    # --- mutable host state (checkpointable) ---
+    start_step = 0
+    highest_score = 0
+    best_eval_avg = 0.0
+    ema_decay = 0.001
+    emas = dict(avg_score=0.0, pct_512=0.0, pct_1024=0.0, pct_2048=0.0,
+                explained_var=0.0)
+    current_beta = cfg.entropy_strength
+    best_game_episode = None
+
+    if cfg.resume and cfg.checkpoint_dir and CKPT.checkpoint_exists(
+        cfg.checkpoint_dir, "train_state"
+    ):
+        tree = dict(params=params, opt_state=opt_state, moments=moments,
+                    key=jax.random.key_data(key))
+        tree, manifest = CKPT.load_checkpoint(cfg.checkpoint_dir, "train_state", tree)
+        params, opt_state, moments = tree["params"], tree["opt_state"], tree["moments"]
+        key = jax.random.wrap_key_data(tree["key"])
+        start_step = int(manifest["train_step"]) + 1
+        highest_score = manifest.get("highest_score", 0)
+        best_eval_avg = manifest.get("best_eval_avg", 0.0)
+        emas.update(manifest.get("emas", {}))
+        current_beta = manifest.get("current_beta", current_beta)
+        logger.print(f"Resumed from step {start_step}")
+
+    def save_train_state(step):
+        if not cfg.checkpoint_dir:
+            return
+        CKPT.save_checkpoint(
+            cfg.checkpoint_dir, "train_state",
+            arrays_tree=dict(params=params, opt_state=opt_state,
+                             moments=moments, key=jax.random.key_data(key)),
+            manifest=dict(
+                train_step=step, highest_score=int(highest_score),
+                best_eval_avg=float(best_eval_avg), emas=emas,
+                current_beta=float(current_beta),
+                config=asdict(cfg), model_config=model_cfg.to_dict(),
+            ),
+        )
+
+    t_start = time.time()
+    env_steps_total = 0
+
+    for train_step in range(start_step, cfg.steps):
+        key, k_roll, k_proc = jax.random.split(key, 3)
+        traj = rollout_fn(params, k_roll)
+        params, opt_state, moments, out = process_fn(
+            params, opt_state, traj, moments, k_proc,
+            jnp.int32(train_step + 1), jnp.float32(current_beta),
+        )
+
+        ostats = {k: float(v) for k, v in out["ostats"].items()}
+        if cfg.adaptive_beta:
+            entropy_error = cfg.target_entropy - ostats.get("entropy", cfg.target_entropy)
+            current_beta = float(
+                np.clip(current_beta * (1.0 + cfg.beta_lr * entropy_error),
+                        cfg.beta_min, cfg.beta_max)
+            )
+
+        batch_max_score = int(out["batch_max_score"])
+        new_high = batch_max_score > highest_score
+        highest_score = max(batch_max_score, highest_score)
+        env_steps_total += int(np.asarray(traj.num_moves).sum())
+
+        batch_avg = float(out["batch_avg_score"])
+        p512, p1024, p2048 = (float(out["pct_512"]), float(out["pct_1024"]),
+                              float(out["pct_2048"]))
+        emas["avg_score"] = (1 - ema_decay) * emas["avg_score"] + ema_decay * batch_avg
+        emas["pct_512"] = (1 - ema_decay) * emas["pct_512"] + ema_decay * p512
+        emas["pct_1024"] = (1 - ema_decay) * emas["pct_1024"] + ema_decay * p1024
+        emas["pct_2048"] = (1 - ema_decay) * emas["pct_2048"] + ema_decay * p2048
+        explained = float(out["dstats"]["explained_var"])
+        emas["explained_var"] = (1 - ema_decay) * emas["explained_var"] + ema_decay * explained
+
+        metrics = S.assemble_metrics(
+            out["dstats"], ostats,
+            highest_score=highest_score,
+            ema_avg_score=emas["avg_score"],
+            ema_pct_512=emas["pct_512"], ema_pct_1024=emas["pct_1024"],
+            ema_pct_2048=emas["pct_2048"],
+            batch_pct_512=p512, batch_pct_1024=p1024, batch_pct_2048=p2048,
+            ema_explained_var=emas["explained_var"],
+            current_beta=current_beta,
+            lr=cfg.learning_rate * float(out["sched_mult"]),
+        )
+        should_print = train_step % cfg.print_frequency == 0
+        logger.log(metrics, step=train_step, verbose=should_print)
+
+        best_idx = int(out["best_idx"])
+        if new_high:
+            best_game_episode = fetch_episode(traj, out["advantage"], best_idx)
+
+        if should_print or (new_high and cfg.viz_dir):
+            episode = fetch_episode(traj, out["advantage"], best_idx, heur_fn=heur_fn)
+            weights = cfg.reward_weights
+            if should_print:
+                printing.print_episode_breakdown(logger, episode, weights, cfg.gamma)
+                if cfg.show_last_steps > 0:
+                    printing.print_last_steps(logger, episode, cfg.show_last_steps)
+                printing.print_final_state(logger, episode)
+            if cfg.viz_dir:
+                viz_export.export_episode_visualization(
+                    cfg.viz_dir, train_step, episode, weights, cfg.gamma
+                )
+
+        if eval_fn and train_step > 0 and train_step % cfg.eval_freq == 0:
+            key, k_eval = jax.random.split(key)
+            logger.print(f"[Step {train_step}] Evaluating model on {cfg.eval_games} games")
+            em = {k: float(v) for k, v in eval_fn(params, k_eval).items()}
+            eval_metrics = {
+                "eval/max_score": em["max_score"],
+                "eval/avg_score": em["avg_score"],
+                "eval/median_score": em["median_score"],
+                "eval/pct_512": em["pct_512"],
+                "eval/pct_1024": em["pct_1024"],
+                "eval/pct_2048": em["pct_2048"],
+            }
+            logger.log(eval_metrics, step=train_step)
+            logger.print(
+                f"Eval Results - Max: {em['max_score']:.0f}, Avg: {em['avg_score']:.1f}, "
+                f"Median: {em['median_score']:.0f}"
+            )
+            logger.print(
+                f"Tiles Reached - 512: {em['pct_512']:.1f}%, 1024: {em['pct_1024']:.1f}%, "
+                f"2048: {em['pct_2048']:.1f}%"
+            )
+            if em["avg_score"] > best_eval_avg and cfg.checkpoint_dir:
+                best_eval_avg = em["avg_score"]
+                CKPT.save_checkpoint(
+                    cfg.checkpoint_dir, "best_model",
+                    arrays_tree=dict(params=params),
+                    manifest=dict(
+                        config=model_cfg.to_dict(), model_type=cfg.model_type,
+                        eval_avg_score=best_eval_avg, train_step=train_step,
+                    ),
+                )
+                logger.print(
+                    f"New best model saved (avg score: {best_eval_avg:.1f}) to "
+                    f"{cfg.checkpoint_dir}/best_model.npz"
+                )
+
+        if cfg.checkpoint_freq and train_step > 0 and train_step % cfg.checkpoint_freq == 0:
+            save_train_state(train_step)
+
+    elapsed = time.time() - t_start
+    steps_run = cfg.steps - start_step
+    if steps_run > 0:
+        logger.print(
+            f"\nTrained {steps_run} steps, {env_steps_total} env steps in "
+            f"{elapsed:.1f}s ({env_steps_total / max(elapsed, 1e-9):.0f} env steps/s)"
+        )
+    save_train_state(cfg.steps - 1)
+
+    if cfg.export_demo:
+        from . import export as EXP
+
+        logger.print("\nExporting demo assets to web/data/ ...")
+        EXP.export_demo_assets(params, model_cfg, cfg.model_type,
+                               best_game_episode, "web/data")
+    logger.close()
+    return dict(params=params, moments=moments, highest_score=highest_score,
+                best_game_episode=best_game_episode, emas=emas,
+                env_steps_total=env_steps_total, elapsed=elapsed)

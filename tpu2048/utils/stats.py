@@ -1,0 +1,151 @@
+"""Batch statistics (reference compute_batch_stats, train.py:922-1041).
+
+Split in two: ``device_stats`` does the array reductions inside the train-step
+jit; ``assemble_metrics`` (host) merges them with optimizer stats and EMA
+trackers into the exact metric-name surface of the reference — including its
+quirks, reproduced deliberately for curve parity:
+
+ * ``avg_score``/``median_score`` include the augmented pseudo-episode's
+   total_points (train.py:964-970 iterates rollout_episodes unfiltered),
+   while per-step stats exclude augmented moves (train.py:940).
+ * ``total_loss``/``actor_loss``/``critic_loss`` read keys the optimizer stats
+   never set, so they log as 0 (train.py:995-997).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def _wstats(x, w):
+    n = jnp.maximum(jnp.sum(w), 1.0)
+    mean = jnp.sum(x * w) / n
+    var = jnp.sum(jnp.square(x - mean) * w) / n
+    return mean, var
+
+
+def device_stats(traj, adv, aug_valid, aug_points) -> dict:
+    """Array reductions over the rollout. ``traj``: Trajectory; ``adv``: the
+    dict from advantage.compute; ``aug_*``: augmented-step fields."""
+    w = traj.valid.astype(jnp.float32)  # (T, N) real steps only
+    n = jnp.maximum(jnp.sum(w), 1.0)
+
+    reward_mean, reward_var = _wstats(adv["reward"], w)
+    adv_mean, adv_var = _wstats(adv["advantage"], w)
+    future_mean, future_var = _wstats(adv["G_raw"], w)
+    fnorm_mean, fnorm_var = _wstats(adv["G_norm"], w)
+    v_mean, v_var = _wstats(traj.value_pred, w)
+
+    zero_reward_pct = jnp.sum((adv["reward"] == 0.0) * w) / n * 100.0
+
+    # Episode scores INCLUDING the augmented pseudo-episode (the quirk).
+    aug_score = jnp.sum(jnp.where(aug_valid, aug_points, 0))
+    scores = jnp.concatenate([traj.total_points, aug_score[None]]).astype(jnp.float32)
+    scores = jnp.sort(scores)
+    n_ep = scores.shape[0]
+    avg_score = jnp.mean(scores)
+    median_score = jnp.where(
+        n_ep % 2 == 1, scores[n_ep // 2],
+        (scores[n_ep // 2 - 1] + scores[n_ep // 2]) / 2.0,
+    )
+
+    # G_0 per real episode (first move's raw RTG), train.py:972-975.
+    has_moves = traj.valid[0]
+    ep_returns = jnp.where(has_moves, adv["G_raw"][0], 0.0)
+    avg_episode_return = jnp.sum(ep_returns) / jnp.maximum(
+        jnp.sum(has_moves.astype(jnp.float32)), 1.0
+    )
+
+    big = jnp.float32(1e30)
+    adv_masked_min = jnp.min(jnp.where(traj.valid, adv["advantage"], big))
+    adv_masked_max = jnp.max(jnp.where(traj.valid, adv["advantage"], -big))
+    g_masked_min = jnp.min(jnp.where(traj.valid, adv["G_norm"], big))
+    g_masked_max = jnp.max(jnp.where(traj.valid, adv["G_norm"], -big))
+
+    fnorm_std = jnp.sqrt(fnorm_var)
+    adv_std = jnp.sqrt(adv_var)
+    variance_reduction = jnp.where(
+        fnorm_std > 0, (fnorm_std - adv_std) / fnorm_std * 100.0, 0.0
+    )
+    explained_var = jnp.where(fnorm_var > 0, 1.0 - adv_var / fnorm_var, 0.0)
+
+    return dict(
+        samples=n,
+        augmented_samples=jnp.sum(aug_valid.astype(jnp.int32)),
+        reward_mean=reward_mean,
+        reward_var=reward_var,
+        zero_reward_pct=zero_reward_pct,
+        advantage_mean=adv_mean,
+        advantage_var=adv_var,
+        advantage_l2=jnp.sqrt(jnp.sum(jnp.square(adv["advantage"]) * w)),
+        adv_min=adv_masked_min,
+        adv_max=adv_masked_max,
+        G_norm_mean=fnorm_mean,
+        G_norm_std=fnorm_std,
+        G_norm_min=g_masked_min,
+        G_norm_max=g_masked_max,
+        G_raw_std=jnp.sqrt(future_var),
+        V_std=jnp.sqrt(v_var),
+        A_std=adv_std,
+        var_reduction=variance_reduction,
+        explained_var=explained_var,
+        avg_score=avg_score,
+        median_score=median_score,
+        avg_episode_return=avg_episode_return,
+    )
+
+
+def assemble_metrics(dstats: dict, opt_stats: dict, *, highest_score,
+                     ema_avg_score, ema_pct_512, ema_pct_1024, ema_pct_2048,
+                     batch_pct_512, batch_pct_1024, batch_pct_2048,
+                     ema_explained_var, current_beta, lr) -> dict:
+    """Final metric dict with the reference's exact key set/order."""
+    return {
+        "samples": int(dstats["samples"]),
+        "augmented_samples": int(dstats["augmented_samples"]),
+        "actor_loss": 0,  # reference logs keys its stats never set
+        "critic_loss": 0,
+        "total_loss": 0,
+        "policy_loss": float(opt_stats["policy_loss"]),
+        "entropy_loss": float(opt_stats["entropy_loss"]),
+        "value_loss": float(opt_stats["value_loss"]),
+        "actor_grad_norm": 0,
+        "critic_grad_norm": 0,
+        "grad_norm": float(opt_stats["grad_norm"]),
+        "entropy": float(opt_stats["entropy"]),
+        "peak_score": highest_score,
+        "avg_score": float(dstats["avg_score"]),
+        "ema_avg_score": ema_avg_score,
+        "median_score": float(dstats["median_score"]),
+        "avg_episode_return": float(dstats["avg_episode_return"]),
+        "pct_512": batch_pct_512,
+        "ema_pct_512": ema_pct_512,
+        "pct_1024": batch_pct_1024,
+        "ema_pct_1024": ema_pct_1024,
+        "pct_2048": batch_pct_2048,
+        "ema_pct_2048": ema_pct_2048,
+        "reward_var": float(dstats["reward_var"]),
+        "reward_mean": float(dstats["reward_mean"]),
+        "zero_reward_pct": float(dstats["zero_reward_pct"]),
+        "advantage_mean": float(dstats["advantage_mean"]),
+        "advantage_var": float(dstats["advantage_var"]),
+        "advantage_l2": float(dstats["advantage_l2"]),
+        "adv_min": float(dstats["adv_min"]),
+        "adv_max": float(dstats["adv_max"]),
+        "G_norm_mean": float(dstats["G_norm_mean"]),
+        "G_norm_std": float(dstats["G_norm_std"]),
+        "G_norm_min": float(dstats["G_norm_min"]),
+        "G_norm_max": float(dstats["G_norm_max"]),
+        "G_raw_std": float(dstats["G_raw_std"]),
+        "V_std": float(dstats["V_std"]),
+        "A_std": float(dstats["A_std"]),
+        "var_reduction": float(dstats["var_reduction"]),
+        "explained_var": float(dstats["explained_var"]),
+        "ema_explained_var": ema_explained_var,
+        "kl_total": float(opt_stats["kl_total"]),
+        "kl_average": float(opt_stats["kl_average"]),
+        "kl_max": float(opt_stats["kl_max"]),
+        "actor_lr": lr,
+        "critic_lr": 0,
+        "current_beta": current_beta,
+    }
