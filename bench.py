@@ -29,7 +29,9 @@ def bench_env_only(batch: int = 8192, iters: int = 200) -> float:
     """Pure environment throughput: batched step with random legal actions."""
     from tpu2048.env import engine
 
-    @jax.jit
+    from functools import partial
+
+    @partial(jax.jit, static_argnums=2)
     def run(boards, key, steps):
         def body(c, _):
             boards, key = c
