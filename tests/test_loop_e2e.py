@@ -1,0 +1,114 @@
+"""End-to-end train-loop tests: tiny runs exercising rollout -> advantage ->
+augment -> PPO -> stats -> eval -> checkpoint -> resume, plus the multichip
+dryrun. Slow-ish (jit compiles) but the core integration coverage."""
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from tpu2048.train.loop import TrainConfig, train
+
+
+def _cfg(tmp_path, **kw):
+    base = dict(
+        steps=2, num_episodes=4, batch_size=32, ppo_epochs=1,
+        points_weight=0.1, monotonicity_weight=1.0, emptiness_weight=0.5,
+        upsample_ratio=0.25, scan_cap=192, print_frequency=1,
+        warmup_steps=1, hidden_size=32, num_layers=1,
+        checkpoint_dir=str(tmp_path / "ckpt"), log_dir=str(tmp_path / "logs"),
+        viz_dir=str(tmp_path / "viz"), eval_freq=None, seed=0,
+    )
+    base.update(kw)
+    return TrainConfig(**base)
+
+
+@pytest.fixture(scope="module")
+def run_result(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("e2e")
+    cfg = _cfg(tmp, steps=3, eval_freq=2, eval_games=4)
+    return tmp, cfg, train(cfg)
+
+
+def test_training_runs_and_logs(run_result):
+    tmp, cfg, out = run_result
+    assert out["highest_score"] > 0
+    assert out["env_steps_total"] > 100
+    logs = list((tmp / "logs").glob("train_mlp_*.jsonl"))
+    assert len(logs) == 1
+    lines = [json.loads(l) for l in logs[0].read_text().splitlines()]
+    train_lines = [l for l in lines if "avg_score" in l]
+    assert len(train_lines) == 3
+    # metric surface intact
+    assert "kl_average" in train_lines[0] and "G_norm_std" in train_lines[0]
+    eval_lines = [l for l in lines if "eval/avg_score" in l]
+    assert len(eval_lines) == 1
+
+
+def test_viz_and_checkpoints_written(run_result):
+    tmp, cfg, out = run_result
+    viz = sorted((tmp / "viz").glob("step_*.json"))
+    assert len(viz) >= 3
+    data = json.loads(viz[0].read_text())
+    assert data["moves"] and "rewards" in data["moves"][0]
+    assert set(data["moves"][0]["rewards"]) == {
+        "points", "smoothness", "tile_bonus", "corner", "adjacency", "chain",
+        "monotonicity", "topological", "emptiness",
+    }
+    ckpt = tmp / "ckpt"
+    assert (ckpt / "train_state.npz").exists()
+    assert (ckpt / "best_model.npz").exists()
+
+
+def test_resume_continues(run_result, tmp_path):
+    tmp, cfg, out = run_result
+    from dataclasses import replace
+
+    cfg2 = replace(cfg, steps=4, resume=True, viz_dir=None, eval_freq=None)
+    out2 = train(cfg2)
+    manifest = json.loads((tmp / "ckpt" / "train_state.json").read_text())
+    assert manifest["train_step"] == 3  # resumed at 3, ran step 3 only
+
+
+def test_evaluate_command(run_result):
+    tmp, cfg, out = run_result
+    from tpu2048.train.evaluate import evaluate_checkpoint
+
+    m = evaluate_checkpoint(str(tmp / "ckpt"), games=4, seed=0)
+    assert m["avg_score"] > 0 and len(m["scores"]) == 4
+
+
+def test_export_demo_assets(run_result, tmp_path):
+    tmp, cfg, out = run_result
+    from tpu2048.train.evaluate import load_model_checkpoint
+    from tpu2048.train.export import export_demo_assets
+
+    params, mc, mt = load_model_checkpoint(str(tmp / "ckpt"))
+    export_demo_assets(params, mc, mt, out["best_game_episode"], tmp_path / "demo")
+    assert (tmp_path / "demo" / "model.onnx").stat().st_size > 1000
+    assert (tmp_path / "demo" / "model_config.json").exists()
+    game = json.loads((tmp_path / "demo" / "best_game.json").read_text())
+    assert game["score"] == out["best_game_episode"]["total_points"]
+    assert game["moves"][0]["action"] in ("UP", "DOWN", "LEFT", "RIGHT")
+    # states exported as tile VALUES (2^k), not exponents
+    flat = [v for row in game["moves"][-1]["state_after"] for v in row]
+    assert max(flat) >= 16 and all(v == 0 or v % 2 == 0 for v in flat)
+
+
+def test_urm_training_smoke(tmp_path):
+    """URM trains (the reference disables this path, train.py:1528-1532)."""
+    cfg = _cfg(tmp_path, steps=1, model_type="urm", hidden_size=16,
+               num_layers=1, num_heads=2, num_loops=2, num_truncated_loops=1,
+               scan_cap=128, viz_dir=None)
+    out = train(cfg)
+    assert out["highest_score"] > 0
+
+
+def test_dryrun_multichip():
+    import sys
+
+    sys.path.insert(0, str(Path(__file__).parent.parent))
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(8)
