@@ -141,9 +141,17 @@ def build_model(cfg: TrainConfig):
     raise ValueError(f"Unknown model type: {cfg.model_type}. Use 'mlp' or 'urm'.")
 
 
+_EXTRA_SCALARS = ("sched_mult", "batch_max_score", "batch_avg_score",
+                  "pct_512", "pct_1024", "pct_2048", "best_idx", "env_steps")
+SCALAR_KEYS = tuple(sorted(
+    list(S.DSTAT_KEYS) + list(U.OptimizeStats._fields) + list(_EXTRA_SCALARS)
+))
+
+
 def make_process_fn(cfg: TrainConfig, apply_train, labels, optimize_fn):
     """One jitted post-rollout program: advantage -> augment -> PPO epochs ->
-    stats. Returns (params, opt_state, moments, outputs-dict)."""
+    stats. Returns (params, opt_state, moments, outputs-dict); the packed
+    scalar vector is ordered by the static SCALAR_KEYS."""
     T, N = cfg.rollout_cap, cfg.num_episodes
     num_slots = int(np.ceil(T * N * max(cfg.upsample_ratio, 0.0))) if cfg.upsample_ratio > 0 else 0
     weights = cfg.reward_weights
@@ -208,11 +216,9 @@ def make_process_fn(cfg: TrainConfig, apply_train, labels, optimize_fn):
         dstats = S.device_stats(traj, adv, aug_valid, aug_points)
         max_tiles = engine.max_tile_value(traj.final_board.astype(jnp.int32))
         n_ep = jnp.float32(N)
-        outputs = dict(
-            dstats=dstats,
-            ostats=ostats._asdict(),
-            advantage=adv["advantage"],
-            G_raw=adv["G_raw"],
+        scalars = dict(dstats)
+        scalars.update(ostats._asdict())
+        scalars.update(
             sched_mult=sched_mult,
             batch_max_score=jnp.max(traj.total_points),
             batch_avg_score=jnp.sum(traj.total_points) / n_ep,
@@ -220,7 +226,15 @@ def make_process_fn(cfg: TrainConfig, apply_train, labels, optimize_fn):
             pct_1024=jnp.sum(max_tiles >= 1024) / n_ep * 100.0,
             pct_2048=jnp.sum(max_tiles >= 2048) / n_ep * 100.0,
             best_idx=jnp.argmax(traj.total_points),
+            env_steps=jnp.sum(traj.num_moves),
         )
+        # One packed vector -> ONE host transfer per train step (the tunnel
+        # round trip per scalar would otherwise dominate wall clock).
+        assert sorted(scalars) == list(SCALAR_KEYS), sorted(scalars)
+        packed = jnp.stack(
+            [jnp.asarray(scalars[k], jnp.float32) for k in SCALAR_KEYS]
+        )
+        outputs = dict(scalars=packed, advantage=adv["advantage"])
         return new_params, new_opt_state, adv["new_moments"], outputs
 
     return jax.jit(process)
@@ -303,6 +317,10 @@ def fetch_episode(traj: R.Trajectory, advantage_tn, idx: int,
     }
 
 
+EVAL_KEYS = ("avg_score", "max_score", "median_score", "pct_1024",
+             "pct_2048", "pct_512")
+
+
 def make_eval_fn(cfg: TrainConfig, apply_eval):
     """Seeded eval: fixed env stream (like the reference's random.seed(i),
     train.py:227-229 — see rollout docstring), stochastic policy draws."""
@@ -317,13 +335,16 @@ def make_eval_fn(cfg: TrainConfig, apply_eval):
         max_tiles = engine.max_tile_value(traj.final_board.astype(jnp.int32))
         sorted_scores = jnp.sort(scores)
         n = jnp.float32(G)
-        return dict(
+        vals = dict(
             max_score=jnp.max(scores),
             avg_score=jnp.sum(scores) / n,
             median_score=sorted_scores[G // 2],
             pct_512=jnp.sum(max_tiles >= 512) / n * 100.0,
             pct_1024=jnp.sum(max_tiles >= 1024) / n * 100.0,
             pct_2048=jnp.sum(max_tiles >= 2048) / n * 100.0,
+        )
+        return jnp.stack(
+            [jnp.asarray(vals[k], jnp.float32) for k in EVAL_KEYS]
         )
 
     return eval_rollout
@@ -426,31 +447,32 @@ def train(cfg: TrainConfig) -> dict:
             jnp.int32(train_step + 1), jnp.float32(current_beta),
         )
 
-        ostats = {k: float(v) for k, v in out["ostats"].items()}
+        # Single packed transfer of every per-step scalar (tunnel round trips
+        # per scalar would dominate wall clock on remote-attached TPUs).
+        sc = dict(zip(SCALAR_KEYS, np.asarray(out["scalars"]).tolist()))
         if cfg.adaptive_beta:
-            entropy_error = cfg.target_entropy - ostats.get("entropy", cfg.target_entropy)
+            entropy_error = cfg.target_entropy - sc.get("entropy", cfg.target_entropy)
             current_beta = float(
                 np.clip(current_beta * (1.0 + cfg.beta_lr * entropy_error),
                         cfg.beta_min, cfg.beta_max)
             )
 
-        batch_max_score = int(out["batch_max_score"])
+        batch_max_score = int(sc["batch_max_score"])
         new_high = batch_max_score > highest_score
         highest_score = max(batch_max_score, highest_score)
-        env_steps_total += int(np.asarray(traj.num_moves).sum())
+        env_steps_total += int(sc["env_steps"])
 
-        batch_avg = float(out["batch_avg_score"])
-        p512, p1024, p2048 = (float(out["pct_512"]), float(out["pct_1024"]),
-                              float(out["pct_2048"]))
+        batch_avg = sc["batch_avg_score"]
+        p512, p1024, p2048 = sc["pct_512"], sc["pct_1024"], sc["pct_2048"]
         emas["avg_score"] = (1 - ema_decay) * emas["avg_score"] + ema_decay * batch_avg
         emas["pct_512"] = (1 - ema_decay) * emas["pct_512"] + ema_decay * p512
         emas["pct_1024"] = (1 - ema_decay) * emas["pct_1024"] + ema_decay * p1024
         emas["pct_2048"] = (1 - ema_decay) * emas["pct_2048"] + ema_decay * p2048
-        explained = float(out["dstats"]["explained_var"])
+        explained = sc["explained_var"]
         emas["explained_var"] = (1 - ema_decay) * emas["explained_var"] + ema_decay * explained
 
         metrics = S.assemble_metrics(
-            out["dstats"], ostats,
+            sc, sc,
             highest_score=highest_score,
             ema_avg_score=emas["avg_score"],
             ema_pct_512=emas["pct_512"], ema_pct_1024=emas["pct_1024"],
@@ -458,12 +480,12 @@ def train(cfg: TrainConfig) -> dict:
             batch_pct_512=p512, batch_pct_1024=p1024, batch_pct_2048=p2048,
             ema_explained_var=emas["explained_var"],
             current_beta=current_beta,
-            lr=cfg.learning_rate * float(out["sched_mult"]),
+            lr=cfg.learning_rate * sc["sched_mult"],
         )
         should_print = train_step % cfg.print_frequency == 0
         logger.log(metrics, step=train_step, verbose=should_print)
 
-        best_idx = int(out["best_idx"])
+        best_idx = int(sc["best_idx"])
         if new_high:
             best_game_episode = fetch_episode(traj, out["advantage"], best_idx)
 
@@ -483,7 +505,7 @@ def train(cfg: TrainConfig) -> dict:
         if eval_fn and train_step > 0 and train_step % cfg.eval_freq == 0:
             key, k_eval = jax.random.split(key)
             logger.print(f"[Step {train_step}] Evaluating model on {cfg.eval_games} games")
-            em = {k: float(v) for k, v in eval_fn(params, k_eval).items()}
+            em = dict(zip(EVAL_KEYS, np.asarray(eval_fn(params, k_eval)).tolist()))
             eval_metrics = {
                 "eval/max_score": em["max_score"],
                 "eval/avg_score": em["avg_score"],

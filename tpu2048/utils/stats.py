@@ -16,6 +16,14 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+DSTAT_KEYS = (
+    "samples", "augmented_samples", "reward_mean", "reward_var",
+    "zero_reward_pct", "advantage_mean", "advantage_var", "advantage_l2",
+    "adv_min", "adv_max", "G_norm_mean", "G_norm_std", "G_norm_min",
+    "G_norm_max", "G_raw_std", "V_std", "A_std", "var_reduction",
+    "explained_var", "avg_score", "median_score", "avg_episode_return",
+)
+
 
 def _wstats(x, w):
     n = jnp.maximum(jnp.sum(w), 1.0)
