@@ -1,0 +1,8 @@
+cd /root/repo
+python train.py train --steps 3000 --episodes 8 --batch-size 8 \
+  --lr 1e-3 --critic-lr 1e-4 -H 196 --gamma 0.99 --entropy 0.02 \
+  --points 0.10 --mono 1.0 --critic 0.2 --rtg-beta 0.99 \
+  --warmup-steps 10 --upsample-ratio 0.25 -t mlp \
+  --print-freq 1000 --eval-freq 1000 --eval-games 50 \
+  --checkpoint-dir /tmp/ckpt_learn2 --log-dir /tmp/logs_learn2 --scan-cap 2048 \
+  2>&1 | grep -v WARNING | tail -20

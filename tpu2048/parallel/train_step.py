@@ -182,6 +182,6 @@ def make_sharded_train_step(mesh: Mesh, apply_eval, apply_train, labels,
         step_fn, mesh=mesh,
         in_specs=(rep, rep, rep, rep, rep, rep),
         out_specs=(rep, rep, rep, rep),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(sharded)
