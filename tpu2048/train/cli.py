@@ -11,6 +11,7 @@ works (reference exits, train.py:1528-1532), resume works (reference exits on
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 
@@ -149,7 +150,22 @@ def cmd_bench(args) -> None:
     _bench.main()
 
 
+def _enable_compilation_cache() -> None:
+    """Persistent XLA compile cache: repeated CLI invocations with the same
+    shapes skip recompilation (first TPU compile of the fused train step can
+    take minutes on a slow host)."""
+    try:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.expanduser("~/.cache/tpu2048-xla"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
 def main(argv=None) -> None:
+    _enable_compilation_cache()
     parser = argparse.ArgumentParser(
         prog="tpu2048", description="Train and evaluate 2048 AI agents (TPU-native)"
     )
