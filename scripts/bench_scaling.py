@@ -1,0 +1,83 @@
+#!/usr/bin/env python
+"""Multi-chip scaling benchmark harness (SURVEY.md §7.5).
+
+Measures the SPMD train step (env-parallel rollout + DP minibatch PPO,
+parallel/train_step.py) across mesh sizes and reports throughput + scaling
+efficiency vs the 1-device run. On real multi-chip hardware this measures ICI
+scaling; run with JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8
+to validate the harness on a virtual mesh (numbers then reflect host cores,
+not TPUs).
+
+Usage: python scripts/bench_scaling.py [--devices 1 2 4 8] [--envs-per-device 64]
+"""
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+import jax
+import jax.numpy as jnp
+
+
+def bench_mesh(n_devices: int, envs_per_device: int, max_steps: int,
+               batch_per_device: int, repeats: int = 3) -> float:
+    from tpu2048.algo.advantage import RewardWeights, RtgMoments
+    from tpu2048.models import MLPConfig, mlp
+    from tpu2048.ops import OptimizerConfig
+    from tpu2048.ops import optimizer as opt
+    from tpu2048.parallel import make_mesh, make_sharded_train_step
+
+    mesh = make_mesh(n_devices)
+    cfg = MLPConfig(hidden_dim=196, num_layers=2)
+    params = mlp.init(jax.random.key(0), cfg)
+    labels = mlp.param_labels(params)
+    step = make_sharded_train_step(
+        mesh, lambda p, x: mlp.apply(p, cfg, x),
+        lambda p, x, r: mlp.apply(p, cfg, x, train=True, rng=r),
+        labels, OptimizerConfig(learning_rate=1e-3, critic_lr=1e-4),
+        num_envs=envs_per_device * n_devices, max_steps=max_steps,
+        batch_size=batch_per_device * n_devices, epochs=1,
+        weights=RewardWeights(points=0.1, monotonicity=1.0),
+        gamma=0.99, rtg_beta=0.99, warmup_steps=10, total_steps=100,
+    )
+    args = (params, opt.init(params, labels), RtgMoments.initial(),
+            jax.random.key(1), jnp.int32(1), jnp.float32(0.02))
+    out = step(*args)
+    jax.block_until_ready(out)
+    best = float("inf")
+    env_steps = None
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        out = step(*args)
+        jax.block_until_ready(out)
+        best = min(best, time.perf_counter() - t0)
+        env_steps = int(out[3]["env_steps"])
+    return env_steps / best
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--devices", type=int, nargs="+", default=None)
+    ap.add_argument("--envs-per-device", type=int, default=64)
+    ap.add_argument("--max-steps", type=int, default=256)
+    ap.add_argument("--batch-per-device", type=int, default=128)
+    args = ap.parse_args()
+
+    avail = len(jax.devices())
+    sizes = args.devices or [d for d in (1, 2, 4, 8, 16, 32) if d <= avail]
+    base = None
+    print(f"devices available: {avail} ({jax.devices()[0].platform})")
+    for n in sizes:
+        sps = bench_mesh(n, args.envs_per_device, args.max_steps,
+                         args.batch_per_device)
+        if base is None:
+            base = sps
+        eff = sps / (base * n) * 100
+        print(f"mesh={n:3d}  {sps:12,.0f} env-steps/s  efficiency {eff:6.1f}%")
+
+
+if __name__ == "__main__":
+    main()
