@@ -20,21 +20,17 @@ identical either way; only the mesh's device assignment changes.
 
 from __future__ import annotations
 
-from functools import partial
-
-import numpy as np
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from ..algo import advantage as A
+from ..algo import losses
 from ..algo import rollout as R
 from ..models.encoding import encode_boards
 from ..ops import optimizer as opt
 from ..ops import schedules
-from .. import algo
-from ..algo import losses
 
 
 def make_sharded_train_step(mesh: Mesh, apply_eval, apply_train, labels,
