@@ -1,0 +1,82 @@
+"""Inference-server tests: PolicyService + HTTP endpoints."""
+
+import json
+import threading
+import urllib.request
+from http.server import ThreadingHTTPServer
+
+import numpy as np
+import jax
+import pytest
+
+from tpu2048.env import oracle
+from tpu2048.models import MLPConfig, mlp
+from tpu2048.ops import optimizer as opt
+from tpu2048.train import checkpoint as CKPT
+
+
+@pytest.fixture(scope="module")
+def ckpt_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("serve_ckpt")
+    cfg = MLPConfig(hidden_dim=32, num_layers=1)
+    params = mlp.init(jax.random.key(0), cfg, zero_heads=False)
+    CKPT.save_checkpoint(
+        d, "best_model", arrays_tree=dict(params=params),
+        manifest=dict(config=cfg.to_dict(), model_type="mlp",
+                      eval_avg_score=0.0, train_step=0),
+    )
+    return d
+
+
+def test_policy_service_predict(ckpt_dir):
+    from tpu2048.serve import PolicyService
+
+    svc = PolicyService(str(ckpt_dir))
+    board = [[1, 0, 0, 0], [0, 2, 0, 0], [0, 0, 0, 0], [0, 0, 0, 1]]
+    out = svc.predict(np.asarray(board))
+    legal = oracle.legal_directions(board)
+    assert out["legal"] == [d in legal for d in range(4)]
+    assert out["action"] in legal
+    assert abs(sum(out["probs"]) - 1.0) < 1e-5
+    for d in range(4):
+        if d not in legal:
+            assert out["probs"][d] == 0.0
+
+    # batch + greedy determinism
+    boards = np.asarray([board, board, board])
+    g1 = svc.predict(boards, greedy=True)
+    g2 = svc.predict(boards, greedy=True)
+    assert g1["actions"] == g2["actions"]
+
+
+def test_http_endpoints(ckpt_dir):
+    from tpu2048.serve import PolicyService, make_handler
+
+    svc = PolicyService(str(ckpt_dir))
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(svc))
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{port}"
+
+    with urllib.request.urlopen(base + "/healthz", timeout=10) as r:
+        health = json.loads(r.read())
+    assert health["status"] == "ok" and health["model"]["model_type"] == "mlp"
+
+    board = [[1, 1, 0, 0], [0, 0, 0, 0], [0, 0, 0, 0], [0, 0, 0, 0]]
+    req = urllib.request.Request(
+        base + "/predict", data=json.dumps({"board": board}).encode(),
+        method="POST", headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req, timeout=30) as r:
+        out = json.loads(r.read())
+    assert out["direction"] in ("UP", "DOWN", "LEFT", "RIGHT")
+    assert out["action"] in oracle.legal_directions(board)
+
+    # malformed input -> 400
+    bad = urllib.request.Request(base + "/predict", data=b"{}", method="POST")
+    try:
+        urllib.request.urlopen(bad, timeout=10)
+        assert False, "expected 400"
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+    srv.shutdown()

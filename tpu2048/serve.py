@@ -1,0 +1,142 @@
+"""Model inference server: POST a board, get the policy's move.
+
+A minimal production-style serving endpoint for trained checkpoints (the
+reference's only serving story is the static browser demo; this serves the
+JAX model directly, batched, from a checkpoint):
+
+  POST /predict   {"board": [[...4x4 exponents...]], "greedy": false}
+      -> {"action": 0..3, "direction": "UP", "probs": [...4], "value": v,
+          "legal": [bool x4]}
+  POST /predict_batch {"boards": [[[...]], ...]} -> {"actions": [...], ...}
+  GET  /healthz   -> {"status": "ok", "model": {...}}
+
+Usage: python -m tpu2048.serve --checkpoint checkpoints [--port 8787]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+from functools import partial
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .env import engine
+from .models.encoding import encode_boards
+
+DIRECTION_NAMES = ["UP", "DOWN", "LEFT", "RIGHT"]
+
+
+class PolicyService:
+    """Loads a checkpoint and answers masked-policy queries (jitted, batched)."""
+
+    def __init__(self, checkpoint_path: str):
+        from .train.evaluate import load_model_checkpoint, _apply_fn
+
+        self.params, self.model_cfg, self.model_type = load_model_checkpoint(
+            checkpoint_path
+        )
+        apply_eval = _apply_fn(self.model_cfg, self.model_type)
+
+        @jax.jit
+        def fwd(params, boards):
+            moves = engine.all_moves(boards)
+            logits, value = apply_eval(params, encode_boards(boards))
+            masked = jnp.where(moves.action_mask, -jnp.inf, logits)
+            all_invalid = jnp.all(moves.action_mask, axis=-1, keepdims=True)
+            probs = jax.nn.softmax(jnp.where(all_invalid, 0.0, masked), axis=-1)
+            probs = jnp.where(moves.action_mask, 0.0, probs)
+            return probs, value[..., 0], jnp.logical_not(moves.action_mask)
+
+        self._fwd = fwd
+        self._rng = np.random.default_rng(0)
+
+    def info(self) -> dict:
+        return {"model_type": self.model_type, "config": self.model_cfg.to_dict()}
+
+    def predict(self, boards: np.ndarray, greedy: bool = False) -> dict:
+        boards = np.asarray(boards, np.int32)
+        squeeze = boards.ndim == 2
+        if squeeze:
+            boards = boards[None]
+        probs, value, legal = self._fwd(self.params, jnp.asarray(boards))
+        probs, value, legal = map(np.asarray, (probs, value, legal))
+        if greedy:
+            actions = probs.argmax(-1)
+        else:
+            cum = probs.cumsum(-1)
+            cum = cum / np.maximum(cum[..., -1:], 1e-9)
+            u = self._rng.random((boards.shape[0], 1))
+            actions = (u > cum).sum(-1)
+        out = {
+            "actions": actions.tolist(),
+            "directions": [DIRECTION_NAMES[a] for a in actions],
+            "probs": probs.tolist(),
+            "values": value.tolist(),
+            "legal": legal.tolist(),
+        }
+        if squeeze:
+            out = {
+                "action": out["actions"][0],
+                "direction": out["directions"][0],
+                "probs": out["probs"][0],
+                "value": out["values"][0],
+                "legal": out["legal"][0],
+            }
+        return out
+
+
+def make_handler(service: PolicyService):
+    class Handler(BaseHTTPRequestHandler):
+        def _json(self, obj, code=200):
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._json({"status": "ok", "model": service.info()})
+            else:
+                self._json({"error": "not found"}, 404)
+
+        def do_POST(self):
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                payload = json.loads(self.rfile.read(n) or b"{}")
+                if self.path == "/predict":
+                    board = payload["board"]
+                    self._json(service.predict(board, payload.get("greedy", False)))
+                elif self.path == "/predict_batch":
+                    boards = payload["boards"]
+                    self._json(service.predict(np.asarray(boards),
+                                               payload.get("greedy", False)))
+                else:
+                    self._json({"error": "not found"}, 404)
+            except (KeyError, ValueError, TypeError) as e:
+                self._json({"error": str(e)}, 400)
+
+        def log_message(self, fmt, *args):
+            pass
+
+    return Handler
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--checkpoint", "-c", default="checkpoints")
+    ap.add_argument("--port", type=int, default=8787)
+    args = ap.parse_args()
+    service = PolicyService(args.checkpoint)
+    server = ThreadingHTTPServer(("0.0.0.0", args.port), make_handler(service))
+    print(f"Serving {service.info()} on http://0.0.0.0:{args.port}")
+    server.serve_forever()
+
+
+if __name__ == "__main__":
+    main()
