@@ -24,7 +24,6 @@ import jax
 import jax.numpy as jnp
 
 from ..env import symmetry
-from ..models.encoding import encode_boards
 
 
 class AugmentedSteps(NamedTuple):

@@ -17,7 +17,6 @@ from __future__ import annotations
 
 import argparse
 import json
-from functools import partial
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np

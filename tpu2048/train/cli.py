@@ -12,7 +12,6 @@ from __future__ import annotations
 
 import argparse
 import os
-import sys
 
 
 def _add_train_flags(p: argparse.ArgumentParser) -> None:

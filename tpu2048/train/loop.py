@@ -20,7 +20,6 @@ from __future__ import annotations
 import time
 from dataclasses import dataclass, field, asdict
 from functools import partial
-from pathlib import Path
 from typing import Optional
 
 import numpy as np
