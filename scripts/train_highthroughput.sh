@@ -1,0 +1,10 @@
+#!/usr/bin/env bash
+# Large-batch TPU training demo: 256 concurrent games per rollout, minibatch
+# 1024. Same algorithm, ~50x the data per step of the README config.
+cd "$(dirname "$0")/.."
+python train.py train --steps "${1:-500}" --episodes 256 --batch-size 1024 \
+  --lr 1e-3 --critic-lr 1e-4 -H 196 --gamma 0.99 --entropy 0.02 \
+  --points 0.10 --mono 1.0 --critic 0.2 --rtg-beta 0.99 \
+  --warmup-steps 10 --upsample-ratio 0.25 -t mlp \
+  --print-freq 50 --eval-freq 100 --eval-games 256 \
+  --checkpoint-dir checkpoints_ht --log-dir logs_ht --scan-cap 2048
