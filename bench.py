@@ -129,8 +129,8 @@ def bench_learner(batch_size: int = 512, S: int = 8192) -> float:
 
 
 def main() -> None:
-    rollout_sps, total_moves = bench_fused_rollout()
     env_sps = bench_env_only()
+    rollout_sps, total_moves = bench_fused_rollout()
     learner_ups = bench_learner()
     print(f"# fused rollout (env+policy): {rollout_sps:,.0f} env-steps/s "
           f"({total_moves} moves)", file=sys.stderr)
