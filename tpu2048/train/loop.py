@@ -351,13 +351,36 @@ def make_eval_fn(cfg: TrainConfig, apply_eval):
 
 def train(cfg: TrainConfig) -> dict:
     """Run training; returns a summary dict (final params under 'params')."""
+    # wandb config dict with the reference's key names (train.py:1461-1490)
+    # so dashboards/sweeps carry over unchanged.
+    train_config = {
+        "steps": cfg.steps, "learning_rate": cfg.learning_rate,
+        "gamma": cfg.gamma, "beta": cfg.entropy_strength,
+        "critic_strength": cfg.critic_strength, "batch_size": cfg.num_episodes,
+        "ppo_epochs": cfg.ppo_epochs, "hidden_size": cfg.hidden_size,
+        "num_layers": cfg.num_layers, "model_type": cfg.model_type,
+        "num_heads": cfg.num_heads, "num_loops": cfg.num_loops,
+        "num_truncated_loops": cfg.num_truncated_loops,
+        "points_weight": cfg.points_weight,
+        "smoothness_weight": cfg.smoothness_weight,
+        "max_tile_weight": cfg.max_tile_weight,
+        "corner_weight": cfg.corner_weight,
+        "adjacency_weight": cfg.adjacency_weight,
+        "chain_weight": cfg.chain_weight,
+        "monotonicity_weight": cfg.monotonicity_weight,
+        "topological_weight": cfg.topological_weight,
+        "win_bonus": cfg.win_bonus, "rtg_beta": cfg.rtg_beta,
+        "adaptive_beta": cfg.adaptive_beta,
+        "target_entropy": cfg.target_entropy, "beta_min": cfg.beta_min,
+        "beta_max": cfg.beta_max, "beta_lr": cfg.beta_lr,
+    }
     logger = MetricLogger(
         log_dir=cfg.log_dir,
         experiment_name=f"train_{cfg.model_type}",
         use_wandb=cfg.use_wandb,
         wandb_project=cfg.wandb_project,
         wandb_run_name=cfg.wandb_run_name,
-        wandb_config={k: v for k, v in asdict(cfg).items()},
+        wandb_config=train_config,
     )
     logger.print(f"Using devices: {jax.devices()}")
 
