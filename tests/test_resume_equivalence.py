@@ -1,0 +1,40 @@
+"""Checkpoint/resume fidelity: training 2+2 steps with a resume in the middle
+must reproduce the uninterrupted 4-step run exactly (params, moments, RNG) —
+the capability the reference lacks entirely (SURVEY.md §5.4)."""
+
+import numpy as np
+import jax
+import pytest
+
+from tpu2048.train.loop import TrainConfig, train
+
+
+def _cfg(tmp, steps, **kw):
+    base = dict(
+        steps=steps, num_episodes=2, batch_size=16, points_weight=0.1,
+        monotonicity_weight=1.0, scan_cap=128, print_frequency=1000,
+        warmup_steps=1, hidden_size=16, num_layers=1, seed=3,
+        checkpoint_dir=str(tmp), log_dir=None, viz_dir=None,
+        upsample_ratio=0.0, checkpoint_freq=None,
+    )
+    base.update(kw)
+    return TrainConfig(**base)
+
+
+def test_resume_reproduces_uninterrupted_run(tmp_path):
+    d1 = tmp_path / "uninterrupted"
+    d2 = tmp_path / "resumed"
+
+    out_full = train(_cfg(d1, steps=4))
+
+    train(_cfg(d2, steps=2))
+    out_resumed = train(_cfg(d2, steps=4, resume=True))
+
+    flat_a = jax.tree.leaves(out_full["params"])
+    flat_b = jax.tree.leaves(out_resumed["params"])
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    np.testing.assert_allclose(
+        float(out_full["moments"].mu), float(out_resumed["moments"].mu), atol=1e-6
+    )
+    assert out_full["highest_score"] == out_resumed["highest_score"]
