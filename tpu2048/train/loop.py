@@ -18,7 +18,7 @@ Fixes over the reference, on purpose (each documented):
 from __future__ import annotations
 
 import time
-from dataclasses import dataclass, field, asdict
+from dataclasses import asdict, dataclass
 from functools import partial
 from typing import Optional
 
