@@ -140,3 +140,12 @@ def test_assemble_metrics_key_surface():
     ]
     assert list(m.keys()) == expected
     assert m["total_loss"] == 0 and m["actor_loss"] == 0  # reference quirk
+
+
+def test_profiling_timer():
+    from tpu2048.utils.profiling import Timer
+    import jax.numpy as jnp
+
+    f = jax.jit(lambda: jnp.ones((8, 8)).sum())
+    t = Timer(lambda: f(), warmup=1, repeats=3)
+    assert t.best_seconds > 0 and t.mean_seconds >= t.best_seconds
