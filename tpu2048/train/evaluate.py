@@ -26,10 +26,14 @@ def load_model_checkpoint(path):
         name = "best_model" if CKPT.checkpoint_exists(p, "best_model") else "train_state"
         with open(p / f"{name}.json") as f:
             manifest = json.load(f)
-        cfg_dict = manifest.get("config", manifest.get("model_config", {}))
-        if "model_config" in manifest:
+        if "model_config" in manifest:  # train_state manifest
             cfg_dict = manifest["model_config"]
-        model_type = manifest.get("model_type", "mlp")
+            model_type = manifest.get(
+                "model_type", manifest.get("config", {}).get("model_type", "mlp")
+            )
+        else:  # best_model manifest: config IS the model config
+            cfg_dict = manifest.get("config", {})
+            model_type = manifest.get("model_type", "mlp")
         if model_type == "urm":
             mc = URMConfig(**cfg_dict)
             template = urm.init(jax.random.key(0), mc)
