@@ -80,8 +80,14 @@ def update(grads, state: OptState, params, labels, schedule_mult,
     bc1 = 1.0 - config.beta1**t
     bc2 = 1.0 - config.beta2**t
 
-    new_p, new_mbuf, new_m, new_v = [], [], [], []
-    for p, g, l, mbuf, m, v in zip(flat_p, flat_g, flat_l, flat_mbuf, flat_m, flat_v):
+    # First pass: momentum/Nesterov directions; Newton-Schulz is deferred so
+    # same-shape matrices batch into one vmapped orthogonalization (fewer,
+    # larger MXU ops and a smaller program).
+    muon_updates = {}  # idx -> (u, lr)
+    new_p, new_mbuf, new_m, new_v = [None] * len(flat_p), [], [], []
+    for i, (p, g, l, mbuf, m, v) in enumerate(
+        zip(flat_p, flat_g, flat_l, flat_mbuf, flat_m, flat_v)
+    ):
         lr = lr_value if l.endswith("value") else lr_other
         if l.startswith("muon"):
             nb = config.muon_momentum * mbuf + (1.0 - config.muon_momentum) * g
@@ -90,21 +96,32 @@ def update(grads, state: OptState, params, labels, schedule_mult,
                 if config.muon_nesterov
                 else nb
             )
-            o = muon.newton_schulz(u).astype(p.dtype)
-            alr = muon.adjust_lr(lr, p.shape, config.adjust_lr_fn)
-            np_ = p * (1.0 - lr * config.weight_decay) - alr * o
+            muon_updates[i] = (u, lr)
             nm, nv = m, v
         else:
             nm = config.beta1 * m + (1.0 - config.beta1) * g
             nv = config.beta2 * v + (1.0 - config.beta2) * jnp.square(g)
-            np_ = p * (1.0 - lr * config.weight_decay) - lr * (nm / bc1) / (
+            new_p[i] = p * (1.0 - lr * config.weight_decay) - lr * (nm / bc1) / (
                 jnp.sqrt(nv / bc2) + 1e-8
             )
             nb = mbuf
-        new_p.append(np_)
         new_mbuf.append(nb)
         new_m.append(nm)
         new_v.append(nv)
+
+    # Batched Newton-Schulz by shape group.
+    by_shape = {}
+    for i, (u, lr) in muon_updates.items():
+        by_shape.setdefault(u.shape, []).append(i)
+    ns_batched = jax.vmap(muon.newton_schulz)
+    for shape, idxs in by_shape.items():
+        stacked = jnp.stack([muon_updates[i][0] for i in idxs])
+        orthos = ns_batched(stacked)
+        for j, i in enumerate(idxs):
+            p, lr = flat_p[i], muon_updates[i][1]
+            o = orthos[j].astype(p.dtype)
+            alr = muon.adjust_lr(lr, shape, config.adjust_lr_fn)
+            new_p[i] = p * (1.0 - lr * config.weight_decay) - alr * o
 
     new_state = OptState(
         muon=muon.MuonState(treedef.unflatten(new_mbuf)),
