@@ -72,3 +72,34 @@ def test_sharded_train_step_matches_moments_math():
     # params moved and are finite
     for leaf in jax.tree.leaves(p2):
         assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_distributed_cli_trainer(tmp_path):
+    """--mesh-data path: SPMD trainer end-to-end on the 8-device CPU mesh,
+    with checkpoint + resume through the same train() entry point."""
+    from tpu2048.train.loop import TrainConfig, train
+
+    cfg = TrainConfig(
+        steps=2, num_episodes=16, batch_size=32, mesh_data=8,
+        points_weight=0.1, monotonicity_weight=1.0, scan_cap=96,
+        hidden_size=16, num_layers=1, warmup_steps=1, seed=0,
+        checkpoint_dir=str(tmp_path), log_dir=str(tmp_path / "logs"),
+        print_frequency=1,
+    )
+    out = train(cfg)
+    assert out["env_steps_total"] > 100
+    assert (tmp_path / "train_state.npz").exists()
+
+    import json
+
+    logs = list((tmp_path / "logs").glob("train_mlp_dp_*.jsonl"))
+    assert logs
+    rows = [json.loads(l) for l in logs[0].read_text().splitlines()]
+    assert len(rows) == 2 and rows[0]["avg_score"] > 0
+
+    # resume continues from the checkpoint
+    from dataclasses import replace
+
+    out2 = train(replace(cfg, steps=3, resume=True))
+    manifest = json.loads((tmp_path / "train_state.json").read_text())
+    assert manifest["train_step"] == 2

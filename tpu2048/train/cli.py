@@ -81,6 +81,8 @@ def _add_train_flags(p: argparse.ArgumentParser) -> None:
     add("--scan-cap", dest="scan_cap", type=int, default=4096,
         help="Episode-length capacity of the fused rollout")
     add("--checkpoint-freq", dest="checkpoint_freq", type=int, default=None)
+    add("--mesh-data", dest="mesh_data", type=int, default=1,
+        help="Data-parallel mesh size (>1 routes through the SPMD trainer)")
     add("--dropout", type=float, default=0.1)
 
 

@@ -100,6 +100,7 @@ class TrainConfig:
     kl_diagnostic: bool = True
     scan_cap: int = DEFAULT_SCAN_CAP
     checkpoint_freq: Optional[int] = None  # full-state checkpoint cadence
+    mesh_data: int = 1  # >1: SPMD data-parallel trainer over an N-device mesh
 
     @property
     def rollout_cap(self) -> int:
@@ -351,6 +352,10 @@ def make_eval_fn(cfg: TrainConfig, apply_eval):
 
 def train(cfg: TrainConfig) -> dict:
     """Run training; returns a summary dict (final params under 'params')."""
+    if cfg.mesh_data > 1:
+        from .distributed import train_distributed
+
+        return train_distributed(cfg)
     # wandb config dict with the reference's key names (train.py:1461-1490)
     # so dashboards/sweeps carry over unchanged.
     train_config = {
