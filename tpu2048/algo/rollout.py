@@ -104,7 +104,7 @@ def masked_policy(logits: jnp.ndarray, invalid_mask: jnp.ndarray) -> tuple:
 
 
 def rollout(apply_fn, params, key: jax.Array, num_envs: int, max_steps: int,
-            env_key: jax.Array | None = None) -> Trajectory:
+            env_key: jax.Array | None = None, greedy: bool = False) -> Trajectory:
     """Play ``num_envs`` games to completion (or ``max_steps``).
 
     ``apply_fn(params, inputs) -> (logits, value)`` must be the eval-mode
@@ -114,6 +114,9 @@ def rollout(apply_fn, params, key: jax.Array, num_envs: int, max_steps: int,
     ``env_key`` drives resets and tile spawns, ``key`` drives action sampling.
     Passing a fixed ``env_key`` gives a deterministic environment stream with
     stochastic policy draws, exactly the reference's "seeded eval".
+
+    ``greedy=True`` takes argmax over the masked logits instead of sampling
+    (invalid actions are -inf so the argmax is always a legal move).
     """
     T, N = max_steps, num_envs
     if env_key is None:
@@ -149,7 +152,10 @@ def rollout(apply_fn, params, key: jax.Array, num_envs: int, max_steps: int,
         enc = encode_boards(boards)
         logits, value = apply_fn(params, enc)
         masked, logprobs, entropy = masked_policy(logits, invalid)
-        action = jax.random.categorical(k_act, masked, axis=-1).astype(jnp.int32)
+        if greedy:
+            action = jnp.argmax(masked, axis=-1).astype(jnp.int32)
+        else:
+            action = jax.random.categorical(k_act, masked, axis=-1).astype(jnp.int32)
 
         mono_b, empt_b = heuristics.monotonicity(boards), heuristics.emptiness(boards)
 

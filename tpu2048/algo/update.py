@@ -108,12 +108,20 @@ def make_optimize_fn(apply_fn, labels, opt_config: opt.OptimizerConfig,
 
             def mb_body(c):
                 mb = c["mb"]
-                start = mb * batch_size
+                # dynamic_slice clamps the window when start+batch_size would
+                # exceed capacity; mirror that clamp explicitly and weight by
+                # the TRUE global sample index so overlap rows (already trained
+                # by the previous minibatch) get zero weight instead of being
+                # silently re-trained while tail samples are dropped.
+                logical_start = mb * batch_size
+                start = jnp.clip(logical_start, 0,
+                                 jnp.maximum(S_cap - batch_size, 0))
                 batch = {
                     k: jax.lax.dynamic_slice_in_dim(v, start, batch_size, axis=0)
                     for k, v in ds.items()
                 }
-                weights = ((start + jnp.arange(batch_size)) < S).astype(jnp.float32)
+                idx = start + jnp.arange(batch_size)
+                weights = ((idx >= logical_start) & (idx < S)).astype(jnp.float32)
                 k_drop, k_kl, new_key = jax.random.split(c["key"], 3)
 
                 (loss, (lstats, logits)), grads = grad_fn(

@@ -1,14 +1,17 @@
 """ctypes bindings for the native C++ bitboard engine.
 
-Builds ``libengine2048.so`` on first import (g++ -O3, cached next to the
-source; rebuilt when the source is newer). The native tier is the host
-runtime: a mass-testing oracle and fast host-side playouts — the accelerator
-path stays the jitted JAX engine.
+Builds ``libengine2048.so`` on first use (g++ -O3, cached next to the source).
+The binary is never committed; staleness is detected by a content hash of the
+source (mtimes are arbitrary after checkout), so the library in use always
+matches the reviewable .cpp. The native tier is the host runtime: a
+mass-testing oracle and fast host-side playouts — the accelerator path stays
+the jitted JAX engine.
 """
 
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import subprocess
 from pathlib import Path
 
@@ -17,16 +20,22 @@ import numpy as np
 _DIR = Path(__file__).parent
 _SRC = _DIR / "engine2048.cpp"
 _LIB = _DIR / "libengine2048.so"
+_HASH = _DIR / "libengine2048.srchash"
 
 _lib = None
 
 
-def _build() -> None:
+def _src_hash() -> str:
+    return hashlib.sha256(_SRC.read_bytes()).hexdigest()
+
+
+def _build(src_hash: str) -> None:
     subprocess.run(
         ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
          "-o", str(_LIB), str(_SRC)],
         check=True, capture_output=True,
     )
+    _HASH.write_text(src_hash)
 
 
 def load():
@@ -35,8 +44,9 @@ def load():
     global _lib
     if _lib is not None:
         return _lib
-    if not _LIB.exists() or _LIB.stat().st_mtime < _SRC.stat().st_mtime:
-        _build()
+    h = _src_hash()
+    if not _LIB.exists() or not _HASH.exists() or _HASH.read_text().strip() != h:
+        _build(h)
     lib = ctypes.CDLL(str(_LIB))
     i32p = ctypes.POINTER(ctypes.c_int32)
     i64p = ctypes.POINTER(ctypes.c_int64)

@@ -130,10 +130,13 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--checkpoint", "-c", default="checkpoints")
     ap.add_argument("--port", type=int, default=8787)
+    ap.add_argument("--host", default="127.0.0.1",
+                    help="Bind address (default loopback; pass 0.0.0.0 to "
+                         "expose on all interfaces — there is no auth)")
     args = ap.parse_args()
     service = PolicyService(args.checkpoint)
-    server = ThreadingHTTPServer(("0.0.0.0", args.port), make_handler(service))
-    print(f"Serving {service.info()} on http://0.0.0.0:{args.port}")
+    server = ThreadingHTTPServer((args.host, args.port), make_handler(service))
+    print(f"Serving {service.info()} on http://{args.host}:{args.port}")
     server.serve_forever()
 
 

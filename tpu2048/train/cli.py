@@ -84,6 +84,8 @@ def _add_train_flags(p: argparse.ArgumentParser) -> None:
     add("--mesh-data", dest="mesh_data", type=int, default=1,
         help="Data-parallel mesh size (>1 routes through the SPMD trainer)")
     add("--dropout", type=float, default=0.1)
+    add("--eval-env-seed", dest="eval_env_seed", type=int, default=12345,
+        help="Seed of the fixed env stream used by eval-in-train")
 
 
 def cmd_train(args) -> None:
@@ -101,7 +103,7 @@ def cmd_evaluate(args) -> None:
     from .evaluate import evaluate_checkpoint
 
     evaluate_checkpoint(args.model_path, games=args.games, seed=args.seed,
-                        greedy=args.greedy)
+                        greedy=args.greedy, env_seed=args.env_seed)
 
 
 def cmd_export_demo(args) -> None:
@@ -182,6 +184,8 @@ def main(argv=None) -> None:
     p_eval.add_argument("--seed", type=int, default=0)
     p_eval.add_argument("--greedy", action="store_true",
                         help="Argmax actions instead of sampling")
+    p_eval.add_argument("--env-seed", dest="env_seed", type=int, default=12345,
+                        help="Seed of the fixed eval env stream")
     p_eval.set_defaults(fn=cmd_evaluate)
 
     p_exp = sub.add_parser("export-demo", help="Export demo assets for the web UI")

@@ -63,22 +63,15 @@ def _apply_fn(model_cfg, model_type):
 
 
 def run_eval(params, model_cfg, model_type, games: int, seed: int = 0,
-             max_steps: int = 4096, greedy: bool = False) -> dict:
+             max_steps: int = 4096, greedy: bool = False,
+             env_seed: int = 12345) -> dict:
     apply_eval = _apply_fn(model_cfg, model_type)
-    if greedy:
-        base = apply_eval
-
-        def apply_greedy(p, x):
-            logits, v = base(p, x)
-            # Sharpen to argmax: categorical over logits*1e9 is a hard argmax.
-            return logits * 1e9, v
-
-        apply_eval = apply_greedy
 
     @jax.jit
     def go(p, key):
-        env_key = jax.random.key(12345)
-        traj = R.rollout(apply_eval, p, key, games, max_steps, env_key=env_key)
+        env_key = jax.random.key(env_seed)
+        traj = R.rollout(apply_eval, p, key, games, max_steps, env_key=env_key,
+                         greedy=greedy)
         tiles = engine.max_tile_value(traj.final_board.astype(jnp.int32))
         return traj.total_points, tiles
 
@@ -96,11 +89,12 @@ def run_eval(params, model_cfg, model_type, games: int, seed: int = 0,
 
 
 def evaluate_checkpoint(path, games: int = 100, seed: int = 0,
-                        greedy: bool = False) -> dict:
+                        greedy: bool = False, env_seed: int = 12345) -> dict:
     params, mc, mt = load_model_checkpoint(path)
     print(f"Evaluating model from: {path}")
     print(f"Running {games} evaluation games...")
-    m = run_eval(params, mc, mt, games, seed=seed, greedy=greedy)
+    m = run_eval(params, mc, mt, games, seed=seed, greedy=greedy,
+                 env_seed=env_seed)
     print(f"Eval Results - Max: {m['max_score']}, Avg: {m['avg_score']:.1f}, "
           f"Median: {m['median_score']:.0f}")
     print(f"Tiles Reached - 512: {m['pct_512']:.1f}%, 1024: {m['pct_1024']:.1f}%, "

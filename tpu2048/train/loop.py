@@ -101,6 +101,7 @@ class TrainConfig:
     scan_cap: int = DEFAULT_SCAN_CAP
     checkpoint_freq: Optional[int] = None  # full-state checkpoint cadence
     mesh_data: int = 1  # >1: SPMD data-parallel trainer over an N-device mesh
+    eval_env_seed: int = 12345  # env stream for eval-in-train (fixed per eval)
 
     @property
     def rollout_cap(self) -> int:
@@ -329,7 +330,9 @@ def make_eval_fn(cfg: TrainConfig, apply_eval):
 
     @jax.jit
     def eval_rollout(params, key):
-        env_key = jax.random.key(12345)  # fixed: same env stream every eval
+        # Fixed env stream every eval (configurable; reference analog is
+        # random.seed(i) per game, train.py:227-229 — deviation documented).
+        env_key = jax.random.key(cfg.eval_env_seed)
         traj = R.rollout(apply_eval, params, key, G, T, env_key=env_key)
         scores = traj.total_points
         max_tiles = engine.max_tile_value(traj.final_board.astype(jnp.int32))
