@@ -81,17 +81,22 @@ def returns_to_go(rewards: jnp.ndarray, valid: jnp.ndarray, gamma: float) -> jnp
 
 
 def normalize_rtg(G: jnp.ndarray, valid: jnp.ndarray, moments: RtgMoments,
-                  rtg_beta: float, rtg_step) -> tuple:
+                  rtg_beta: float, rtg_step, axis_name=None) -> tuple:
     """Normalize with bias-corrected OLD moments, then fold the batch stats
     into the moments (the reference's deliberate ordering, train.py:744-760 +
     892-901). ``rtg_step`` is the 1-indexed train step.
 
+    With ``axis_name`` (running per-shard under shard_map) the batch moments
+    are GLOBAL — psum'd over the data axis — so every device folds identical
+    statistics into the replicated moment state.
+
     Returns (G_norm (T,N), new_moments, batch_mean, batch_var).
     """
+    ar = (lambda x: jax.lax.psum(x, axis_name)) if axis_name else (lambda x: x)
     w = valid.astype(jnp.float32)
-    n = jnp.maximum(jnp.sum(w), 1.0)
-    batch_mean = jnp.sum(G * w) / n
-    batch_var = jnp.sum(jnp.square(G - batch_mean) * w) / n
+    n = jnp.maximum(ar(jnp.sum(w)), 1.0)
+    batch_mean = ar(jnp.sum(G * w)) / n
+    batch_var = ar(jnp.sum(jnp.square(G - batch_mean) * w)) / n
 
     bias_correction = jnp.maximum(1.0 - rtg_beta ** jnp.maximum(rtg_step, 1), EPS)
     mu_c = moments.mu / bias_correction
@@ -108,14 +113,15 @@ def normalize_rtg(G: jnp.ndarray, valid: jnp.ndarray, moments: RtgMoments,
 
 def compute(traj_points, mono_b, mono_a, empt_b, empt_a, value_pred, valid,
             weights: RewardWeights, gamma: float, moments: RtgMoments,
-            rtg_beta: float, rtg_step) -> dict:
+            rtg_beta: float, rtg_step, axis_name=None) -> dict:
     """Full advantage pipeline over (T, N) arrays. Returns a dict with
-    reward, G_raw, G_norm, advantage (all (T, N)) and new_moments."""
+    reward, G_raw, G_norm, advantage (all (T, N)) and new_moments.
+    ``axis_name``: psum the batch moments over a data-parallel mesh axis."""
     reward = step_rewards(traj_points, mono_b, mono_a, empt_b, empt_a, weights, gamma)
     reward = jnp.where(valid, reward, 0.0)
     G_raw = returns_to_go(reward, valid, gamma)
     G_norm, new_moments, batch_mean, batch_var = normalize_rtg(
-        G_raw, valid, moments, rtg_beta, rtg_step
+        G_raw, valid, moments, rtg_beta, rtg_step, axis_name=axis_name
     )
     advantage = G_norm - value_pred
     return dict(

@@ -50,11 +50,17 @@ def smooth_l1(pred, target):
 
 
 def ppo_loss(logits, values, targets, action_mask, advantage, rtg,
-             old_logprobs, weights, *, kl_strength, critic_strength):
+             old_logprobs, weights, *, kl_strength, critic_strength,
+             denom=None):
     """Scalar loss + stats for one minibatch.
 
     logits (B,4), values (B,1), targets (B,), action_mask (B,4) True=invalid,
     advantage/rtg/weights (B,), old_logprobs (B,4).
+
+    ``denom`` overrides the mean divisor (default: local sum of weights).
+    Data-parallel callers pass the GLOBAL sample count so that psum(grads)
+    equals the exact gradient of one big minibatch, and psum(stats) the exact
+    global weighted means.
     """
     masked = jnp.where(action_mask, NEG_INF, logits)
     all_invalid = jnp.all(action_mask, axis=-1, keepdims=True)
@@ -78,23 +84,27 @@ def ppo_loss(logits, values, targets, action_mask, advantage, rtg,
 
     value_l = smooth_l1(values[:, 0], rtg)
 
+    d = jnp.maximum(jnp.sum(weights), 1.0) if denom is None else denom
+    wmean = lambda x: jnp.sum(x * weights) / d
+
     objective = ppo_clip - critic_strength * value_l + kl_strength * entropy
-    loss = -_wmean(objective, weights)
+    loss = -wmean(objective)
 
     stats = LossStats(
         loss=loss,
-        policy_loss=-_wmean(jax.lax.stop_gradient(ppo_clip), weights),
-        entropy_loss=-kl_strength * _wmean(jax.lax.stop_gradient(entropy), weights),
-        value_loss=critic_strength * _wmean(jax.lax.stop_gradient(value_l), weights),
-        entropy=_wmean(jax.lax.stop_gradient(entropy), weights),
+        policy_loss=-wmean(jax.lax.stop_gradient(ppo_clip)),
+        entropy_loss=-kl_strength * wmean(jax.lax.stop_gradient(entropy)),
+        value_loss=critic_strength * wmean(jax.lax.stop_gradient(value_l)),
+        entropy=wmean(jax.lax.stop_gradient(entropy)),
     )
     return loss, stats
 
 
-def kl_old_new(old_logits, new_logits, action_mask, weights):
+def kl_old_new(old_logits, new_logits, action_mask, weights, denom=None):
     """Diagnostic KL(old || new) over valid actions with renormalized masked
     log_softmax (train.py:594-601). Returns (kl_sum, kl_mean, kl_max) with
-    padding excluded."""
+    padding excluded. ``denom`` overrides the mean divisor (DP callers pass
+    the global count and psum kl_sum / pmax kl_max)."""
     all_invalid = jnp.all(action_mask, axis=-1, keepdims=True)
 
     def mls(z):
@@ -106,6 +116,7 @@ def kl_old_new(old_logits, new_logits, action_mask, weights):
     kl = jnp.sum(terms, axis=-1)
     kl = jnp.where(weights > 0, kl, 0.0)
     kl_sum = jnp.sum(kl)
-    kl_mean = kl_sum / jnp.maximum(jnp.sum(weights), 1.0)
+    d = jnp.maximum(jnp.sum(weights), 1.0) if denom is None else denom
+    kl_mean = kl_sum / d
     kl_max = jnp.max(kl)
     return kl_sum, kl_mean, kl_max

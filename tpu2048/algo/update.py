@@ -56,20 +56,30 @@ class OptimizeStats(NamedTuple):
 
 
 def make_optimize_fn(apply_fn, labels, opt_config: opt.OptimizerConfig,
-                     batch_size: int, epochs: int, kl_diagnostic: bool = True):
+                     batch_size: int, epochs: int, kl_diagnostic: bool = True,
+                     axis_name: str | None = None):
     """Build optimize(params, opt_state, dataset, key, beta, critic_strength,
     schedule_mult) -> (params, opt_state, OptimizeStats).
 
     ``apply_fn(params, inputs, rng)`` must be the TRAIN-mode forward
-    (dropout active when rng is not None)."""
+    (dropout active when rng is not None).
 
-    def loss_fn(params, batch, weights, beta, critic_strength, rng):
+    ``axis_name``: run data-parallel under shard_map over that mesh axis.
+    ``batch_size`` is then the PER-DEVICE minibatch size; every device runs
+    the same (pmax-synchronized) number of minibatches, losses are normalized
+    by the psum'd global sample count and gradients psum'd per step, so the
+    update equals one big minibatch of D x batch_size samples and parameters
+    stay bit-identical across devices. Stats are psum'd to global means."""
+    ar_sum = (lambda x: jax.lax.psum(x, axis_name)) if axis_name else (lambda x: x)
+    ar_max = (lambda x: jax.lax.pmax(x, axis_name)) if axis_name else (lambda x: x)
+
+    def loss_fn(params, batch, weights, beta, critic_strength, rng, denom):
         inputs = encode_boards(batch["board"].astype(jnp.int32))
         logits, values = apply_fn(params, inputs, rng)
         loss, stats = losses.ppo_loss(
             logits, values, batch["action"], batch["mask"], batch["advantage"],
             batch["rtg"], batch["logprobs"], weights,
-            kl_strength=beta, critic_strength=critic_strength,
+            kl_strength=beta, critic_strength=critic_strength, denom=denom,
         )
         return loss, (stats, logits)
 
@@ -79,7 +89,7 @@ def make_optimize_fn(apply_fn, labels, opt_config: opt.OptimizerConfig,
                  critic_strength, schedule_mult):
         S_cap = dataset.valid.shape[0]
         S = jnp.sum(dataset.valid.astype(jnp.int32))
-        nb = jnp.maximum((S + batch_size - 1) // batch_size, 0)
+        nb = ar_max(jnp.maximum((S + batch_size - 1) // batch_size, 0))
 
         zero = jnp.zeros(())
         stats0 = dict(loss=zero, policy=zero, ent_loss=zero, value=zero,
@@ -124,9 +134,17 @@ def make_optimize_fn(apply_fn, labels, opt_config: opt.OptimizerConfig,
                 weights = ((idx >= logical_start) & (idx < S)).astype(jnp.float32)
                 k_drop, k_kl, new_key = jax.random.split(c["key"], 3)
 
+                # Global sample count: psum'd so shard losses/stats sum to the
+                # exact global means and psum(grads) is the exact DP gradient.
+                denom = jnp.maximum(ar_sum(jnp.sum(weights)), 1.0) if axis_name else None
                 (loss, (lstats, logits)), grads = grad_fn(
-                    c["params"], batch, weights, beta, critic_strength, k_drop
+                    c["params"], batch, weights, beta, critic_strength, k_drop,
+                    denom,
                 )
+                if axis_name:
+                    grads = jax.lax.psum(grads, axis_name)
+                    loss = ar_sum(loss)
+                    lstats = jax.tree.map(ar_sum, lstats)
                 new_params, new_opt_state, gnorm = opt.update(
                     grads, c["opt_state"], c["params"], labels, schedule_mult,
                     opt_config,
@@ -140,11 +158,11 @@ def make_optimize_fn(apply_fn, labels, opt_config: opt.OptimizerConfig,
                         k_kl,
                     )
                     kl_sum, kl_mean, kl_max = losses.kl_old_new(
-                        logits, new_logits, batch["mask"], weights
+                        logits, new_logits, batch["mask"], weights, denom
                     )
-                    st["kl_total"] = st["kl_total"] + kl_sum
-                    st["kl_avg"] = st["kl_avg"] + kl_mean
-                    st["kl_max"] = jnp.maximum(st["kl_max"], kl_max)
+                    st["kl_total"] = st["kl_total"] + ar_sum(kl_sum)
+                    st["kl_avg"] = st["kl_avg"] + (ar_sum(kl_mean) if axis_name else kl_mean)
+                    st["kl_max"] = jnp.maximum(st["kl_max"], ar_max(kl_max))
                 st["loss"] = st["loss"] + loss
                 st["policy"] = st["policy"] + lstats.policy_loss
                 st["ent_loss"] = st["ent_loss"] + lstats.entropy_loss

@@ -86,9 +86,33 @@ def _add_train_flags(p: argparse.ArgumentParser) -> None:
     add("--dropout", type=float, default=0.1)
     add("--eval-env-seed", dest="eval_env_seed", type=int, default=12345,
         help="Seed of the fixed env stream used by eval-in-train")
+    # multi-host launch (SURVEY.md §5.8; net-new — the reference has no
+    # distributed layer). Run the SAME command on every host with its own
+    # --process-id; the mesh then spans all hosts' chips.
+    add("--coordinator-address", dest="coordinator_address", default=None,
+        help="host:port of process 0 (multi-host training)")
+    add("--num-processes", dest="num_processes", type=int, default=None,
+        help="Total number of hosts/processes in the job")
+    add("--process-id", dest="process_id", type=int, default=None,
+        help="This host's index in [0, num_processes)")
+    add("--platform", default=None,
+        help="Force a JAX platform (cpu/tpu) — e.g. cpu for multi-host tests")
 
 
 def cmd_train(args) -> None:
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+    if args.num_processes and args.num_processes > 1:
+        from ..parallel import initialize_distributed
+
+        initialize_distributed(
+            coordinator_address=args.coordinator_address,
+            num_processes=args.num_processes,
+            process_id=args.process_id,
+        )
+
     from .loop import TrainConfig, train
 
     field_names = set(TrainConfig.__dataclass_fields__)

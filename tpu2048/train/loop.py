@@ -149,13 +149,24 @@ SCALAR_KEYS = tuple(sorted(
 ))
 
 
-def make_process_fn(cfg: TrainConfig, apply_train, labels, optimize_fn):
-    """One jitted post-rollout program: advantage -> augment -> PPO epochs ->
-    stats. Returns (params, opt_state, moments, outputs-dict); the packed
-    scalar vector is ordered by the static SCALAR_KEYS."""
-    T, N = cfg.rollout_cap, cfg.num_episodes
+def make_process_fn(cfg: TrainConfig, apply_train, labels, optimize_fn,
+                    axis_name: Optional[str] = None,
+                    num_envs_local: Optional[int] = None, _jit: bool = True):
+    """One post-rollout program: advantage -> augment -> PPO epochs -> stats.
+    Returns (params, opt_state, moments, outputs-dict); the packed scalar
+    vector is ordered by the static SCALAR_KEYS.
+
+    ``axis_name``/``num_envs_local``: run per-shard under shard_map over a
+    data-parallel mesh axis — the SAME code path as single-chip, with the
+    batch moments, gradients and every logged statistic reduced globally
+    (``optimize_fn`` must be built with the same ``axis_name``). The sharded
+    builder (parallel/train_step.py) passes ``_jit=False`` and wraps this body
+    in shard_map itself."""
+    T, N = cfg.rollout_cap, num_envs_local or cfg.num_episodes
     num_slots = int(np.ceil(T * N * max(cfg.upsample_ratio, 0.0))) if cfg.upsample_ratio > 0 else 0
     weights = cfg.reward_weights
+    ar = (lambda x: jax.lax.psum(x, axis_name)) if axis_name else (lambda x: x)
+    amax = (lambda x: jax.lax.pmax(x, axis_name)) if axis_name else (lambda x: x)
 
     def process(params, opt_state, traj: R.Trajectory, moments, key, train_step,
                 beta):
@@ -165,7 +176,7 @@ def make_process_fn(cfg: TrainConfig, apply_train, labels, optimize_fn):
         adv = A.compute(
             traj.points, traj.mono_before, traj.mono_after, traj.empt_before,
             traj.empt_after, traj.value_pred, traj.valid, weights, cfg.gamma,
-            moments, cfg.rtg_beta, train_step,
+            moments, cfg.rtg_beta, train_step, axis_name=axis_name,
         )
 
         S_real = T * N
@@ -214,20 +225,28 @@ def make_process_fn(cfg: TrainConfig, apply_train, labels, optimize_fn):
             sched_mult,
         )
 
-        dstats = S.device_stats(traj, adv, aug_valid, aug_points)
+        dstats = S.device_stats(traj, adv, aug_valid, aug_points,
+                                axis_name=axis_name)
         max_tiles = engine.max_tile_value(traj.final_board.astype(jnp.int32))
-        n_ep = jnp.float32(N)
+        n_ep = ar(jnp.float32(N))  # global episode count across shards
+        if axis_name:
+            # Global best episode: index into the gathered (data-concatenated)
+            # score vector — the same layout the sharded traj comes back in.
+            all_scores = jax.lax.all_gather(traj.total_points, axis_name)
+            best_idx = jnp.argmax(all_scores.reshape(-1))
+        else:
+            best_idx = jnp.argmax(traj.total_points)
         scalars = dict(dstats)
         scalars.update(ostats._asdict())
         scalars.update(
             sched_mult=sched_mult,
-            batch_max_score=jnp.max(traj.total_points),
-            batch_avg_score=jnp.sum(traj.total_points) / n_ep,
-            pct_512=jnp.sum(max_tiles >= 512) / n_ep * 100.0,
-            pct_1024=jnp.sum(max_tiles >= 1024) / n_ep * 100.0,
-            pct_2048=jnp.sum(max_tiles >= 2048) / n_ep * 100.0,
-            best_idx=jnp.argmax(traj.total_points),
-            env_steps=jnp.sum(traj.num_moves),
+            batch_max_score=amax(jnp.max(traj.total_points)),
+            batch_avg_score=ar(jnp.sum(traj.total_points)) / n_ep,
+            pct_512=ar(jnp.sum(max_tiles >= 512)) / n_ep * 100.0,
+            pct_1024=ar(jnp.sum(max_tiles >= 1024)) / n_ep * 100.0,
+            pct_2048=ar(jnp.sum(max_tiles >= 2048)) / n_ep * 100.0,
+            best_idx=best_idx,
+            env_steps=ar(jnp.sum(traj.num_moves)),
         )
         # One packed vector -> ONE host transfer per train step (the tunnel
         # round trip per scalar would otherwise dominate wall clock).
@@ -238,7 +257,7 @@ def make_process_fn(cfg: TrainConfig, apply_train, labels, optimize_fn):
         outputs = dict(scalars=packed, advantage=adv["advantage"])
         return new_params, new_opt_state, adv["new_moments"], outputs
 
-    return jax.jit(process)
+    return jax.jit(process) if _jit else process
 
 
 def make_episode_heuristics_fn():
@@ -354,11 +373,21 @@ def make_eval_fn(cfg: TrainConfig, apply_eval):
 
 
 def train(cfg: TrainConfig) -> dict:
-    """Run training; returns a summary dict (final params under 'params')."""
-    if cfg.mesh_data > 1:
-        from .distributed import train_distributed
+    """Run training; returns a summary dict (final params under 'params').
 
-        return train_distributed(cfg)
+    ``cfg.mesh_data > 1`` routes the hot path through the SPMD train step
+    (parallel/train_step.py) — the same rollout/process code shard_mapped
+    over a ('data',) mesh with global collectives; every host-side feature
+    (adaptive beta, eval-in-train, best/full checkpoints, viz export, the
+    full metric surface) is shared with the single-chip path below.
+
+    Multi-host: launch the same command on every host with
+    --coordinator-address/--num-processes/--process-id (the CLI calls
+    jax.distributed.initialize first); the mesh spans all hosts' chips.
+    Only process 0 logs and writes checkpoints; per-episode printing/viz is
+    skipped because the sharded trajectory is not host-addressable."""
+    main_process = jax.process_index() == 0
+    multiprocess = jax.process_count() > 1
     # wandb config dict with the reference's key names (train.py:1461-1490)
     # so dashboards/sweeps carry over unchanged.
     train_config = {
@@ -382,14 +411,27 @@ def train(cfg: TrainConfig) -> dict:
         "target_entropy": cfg.target_entropy, "beta_min": cfg.beta_min,
         "beta_max": cfg.beta_max, "beta_lr": cfg.beta_lr,
     }
-    logger = MetricLogger(
-        log_dir=cfg.log_dir,
-        experiment_name=f"train_{cfg.model_type}",
-        use_wandb=cfg.use_wandb,
-        wandb_project=cfg.wandb_project,
-        wandb_run_name=cfg.wandb_run_name,
-        wandb_config=train_config,
-    )
+    if main_process:
+        logger = MetricLogger(
+            log_dir=cfg.log_dir,
+            experiment_name=f"train_{cfg.model_type}",
+            use_wandb=cfg.use_wandb,
+            wandb_project=cfg.wandb_project,
+            wandb_run_name=cfg.wandb_run_name,
+            wandb_config=train_config,
+        )
+    else:  # non-main hosts stay silent
+        class _NullLogger:
+            def log(self, *a, **k):
+                pass
+
+            def print(self, *a, **k):
+                pass
+
+            def close(self):
+                pass
+
+        logger = _NullLogger()
     logger.print(f"Using devices: {jax.devices()}")
 
     model_cfg, init_fn, apply_eval, apply_train, labels_fn = build_model(cfg)
@@ -405,18 +447,27 @@ def train(cfg: TrainConfig) -> dict:
     opt_state = opt.init(params, labels)
     moments = A.RtgMoments.initial()
 
-    optimize_fn = U.make_optimize_fn(
-        apply_train, labels, opt_cfg, cfg.batch_size, cfg.ppo_epochs,
-        kl_diagnostic=cfg.kl_diagnostic,
-    )
-    process_fn = make_process_fn(cfg, apply_train, labels, optimize_fn)
+    use_mesh = cfg.mesh_data > 1
+    if use_mesh:
+        from ..parallel import make_mesh, make_sharded_train_step
+
+        mesh = make_mesh(cfg.mesh_data)
+        logger.print(f"SPMD data-parallel mesh: {dict(mesh.shape)}")
+        fused_step = make_sharded_train_step(
+            mesh, cfg, apply_eval, apply_train, labels, opt_cfg
+        )
+    else:
+        optimize_fn = U.make_optimize_fn(
+            apply_train, labels, opt_cfg, cfg.batch_size, cfg.ppo_epochs,
+            kl_diagnostic=cfg.kl_diagnostic,
+        )
+        process_fn = make_process_fn(cfg, apply_train, labels, optimize_fn)
+        N, T = cfg.num_episodes, cfg.rollout_cap
+        rollout_fn = jax.jit(
+            lambda p, k: R.rollout(apply_eval, p, k, N, T)
+        )
     heur_fn = make_episode_heuristics_fn()
     eval_fn = make_eval_fn(cfg, apply_eval) if cfg.eval_freq else None
-
-    N, T = cfg.num_episodes, cfg.rollout_cap
-    rollout_fn = jax.jit(
-        lambda p, k: R.rollout(apply_eval, p, k, N, T)
-    )
 
     # Sanity forward on a fresh board (reference train.py:1627-1637).
     from ..models.encoding import encode_boards
@@ -452,7 +503,7 @@ def train(cfg: TrainConfig) -> dict:
         logger.print(f"Resumed from step {start_step}")
 
     def save_train_state(step):
-        if not cfg.checkpoint_dir:
+        if not cfg.checkpoint_dir or not main_process:
             return
         CKPT.save_checkpoint(
             cfg.checkpoint_dir, "train_state",
@@ -470,12 +521,19 @@ def train(cfg: TrainConfig) -> dict:
     env_steps_total = 0
 
     for train_step in range(start_step, cfg.steps):
-        key, k_roll, k_proc = jax.random.split(key, 3)
-        traj = rollout_fn(params, k_roll)
-        params, opt_state, moments, out = process_fn(
-            params, opt_state, traj, moments, k_proc,
-            jnp.int32(train_step + 1), jnp.float32(current_beta),
-        )
+        if use_mesh:
+            key, k_step = jax.random.split(key)
+            params, opt_state, moments, traj, out = fused_step(
+                params, opt_state, moments, k_step,
+                jnp.int32(train_step + 1), jnp.float32(current_beta),
+            )
+        else:
+            key, k_roll, k_proc = jax.random.split(key, 3)
+            traj = rollout_fn(params, k_roll)
+            params, opt_state, moments, out = process_fn(
+                params, opt_state, traj, moments, k_proc,
+                jnp.int32(train_step + 1), jnp.float32(current_beta),
+            )
 
         # Single packed transfer of every per-step scalar (tunnel round trips
         # per scalar would dominate wall clock on remote-attached TPUs).
@@ -516,10 +574,10 @@ def train(cfg: TrainConfig) -> dict:
         logger.log(metrics, step=train_step, verbose=should_print)
 
         best_idx = int(sc["best_idx"])
-        if new_high:
+        if new_high and not multiprocess:
             best_game_episode = fetch_episode(traj, out["advantage"], best_idx)
 
-        if should_print or (new_high and cfg.viz_dir):
+        if (should_print or (new_high and cfg.viz_dir)) and not multiprocess:
             episode = fetch_episode(traj, out["advantage"], best_idx, heur_fn=heur_fn)
             weights = cfg.reward_weights
             if should_print:
@@ -555,14 +613,15 @@ def train(cfg: TrainConfig) -> dict:
             )
             if em["avg_score"] > best_eval_avg and cfg.checkpoint_dir:
                 best_eval_avg = em["avg_score"]
-                CKPT.save_checkpoint(
-                    cfg.checkpoint_dir, "best_model",
-                    arrays_tree=dict(params=params),
-                    manifest=dict(
-                        config=model_cfg.to_dict(), model_type=cfg.model_type,
-                        eval_avg_score=best_eval_avg, train_step=train_step,
-                    ),
-                )
+                if main_process:
+                    CKPT.save_checkpoint(
+                        cfg.checkpoint_dir, "best_model",
+                        arrays_tree=dict(params=params),
+                        manifest=dict(
+                            config=model_cfg.to_dict(), model_type=cfg.model_type,
+                            eval_avg_score=best_eval_avg, train_step=train_step,
+                        ),
+                    )
                 logger.print(
                     f"New best model saved (avg score: {best_eval_avg:.1f}) to "
                     f"{cfg.checkpoint_dir}/best_model.npz"
@@ -580,7 +639,7 @@ def train(cfg: TrainConfig) -> dict:
         )
     save_train_state(cfg.steps - 1)
 
-    if cfg.export_demo:
+    if cfg.export_demo and main_process:
         from . import export as EXP
 
         logger.print("\nExporting demo assets to web/data/ ...")

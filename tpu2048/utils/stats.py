@@ -14,6 +14,7 @@ quirks, reproduced deliberately for curve parity:
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 DSTAT_KEYS = (
@@ -25,30 +26,38 @@ DSTAT_KEYS = (
 )
 
 
-def _wstats(x, w):
-    n = jnp.maximum(jnp.sum(w), 1.0)
-    mean = jnp.sum(x * w) / n
-    var = jnp.sum(jnp.square(x - mean) * w) / n
-    return mean, var
-
-
-def device_stats(traj, adv, aug_valid, aug_points) -> dict:
+def device_stats(traj, adv, aug_valid, aug_points, axis_name=None) -> dict:
     """Array reductions over the rollout. ``traj``: Trajectory; ``adv``: the
-    dict from advantage.compute; ``aug_*``: augmented-step fields."""
+    dict from advantage.compute; ``aug_*``: augmented-step fields.
+
+    With ``axis_name`` (per-shard under shard_map) every statistic is GLOBAL:
+    weighted moments psum'd, extrema pmax/pmin'd, and the episode-score
+    vector all_gather'd so avg/median match the single-chip computation over
+    the full batch (each shard contributes its own augmented pseudo-episode,
+    matching the reference quirk once per shard)."""
+    ar = (lambda x: jax.lax.psum(x, axis_name)) if axis_name else (lambda x: x)
+
+    def wstats(x, w, n):
+        mean = ar(jnp.sum(x * w)) / n
+        var = ar(jnp.sum(jnp.square(x - mean) * w)) / n
+        return mean, var
+
     w = traj.valid.astype(jnp.float32)  # (T, N) real steps only
-    n = jnp.maximum(jnp.sum(w), 1.0)
+    n = jnp.maximum(ar(jnp.sum(w)), 1.0)
 
-    reward_mean, reward_var = _wstats(adv["reward"], w)
-    adv_mean, adv_var = _wstats(adv["advantage"], w)
-    future_mean, future_var = _wstats(adv["G_raw"], w)
-    fnorm_mean, fnorm_var = _wstats(adv["G_norm"], w)
-    v_mean, v_var = _wstats(traj.value_pred, w)
+    reward_mean, reward_var = wstats(adv["reward"], w, n)
+    adv_mean, adv_var = wstats(adv["advantage"], w, n)
+    future_mean, future_var = wstats(adv["G_raw"], w, n)
+    fnorm_mean, fnorm_var = wstats(adv["G_norm"], w, n)
+    v_mean, v_var = wstats(traj.value_pred, w, n)
 
-    zero_reward_pct = jnp.sum((adv["reward"] == 0.0) * w) / n * 100.0
+    zero_reward_pct = ar(jnp.sum((adv["reward"] == 0.0) * w)) / n * 100.0
 
     # Episode scores INCLUDING the augmented pseudo-episode (the quirk).
     aug_score = jnp.sum(jnp.where(aug_valid, aug_points, 0))
     scores = jnp.concatenate([traj.total_points, aug_score[None]]).astype(jnp.float32)
+    if axis_name:
+        scores = jax.lax.all_gather(scores, axis_name).reshape(-1)
     scores = jnp.sort(scores)
     n_ep = scores.shape[0]
     avg_score = jnp.mean(scores)
@@ -60,15 +69,17 @@ def device_stats(traj, adv, aug_valid, aug_points) -> dict:
     # G_0 per real episode (first move's raw RTG), train.py:972-975.
     has_moves = traj.valid[0]
     ep_returns = jnp.where(has_moves, adv["G_raw"][0], 0.0)
-    avg_episode_return = jnp.sum(ep_returns) / jnp.maximum(
-        jnp.sum(has_moves.astype(jnp.float32)), 1.0
+    avg_episode_return = ar(jnp.sum(ep_returns)) / jnp.maximum(
+        ar(jnp.sum(has_moves.astype(jnp.float32))), 1.0
     )
 
+    amax = (lambda x: jax.lax.pmax(x, axis_name)) if axis_name else (lambda x: x)
+    amin = (lambda x: jax.lax.pmin(x, axis_name)) if axis_name else (lambda x: x)
     big = jnp.float32(1e30)
-    adv_masked_min = jnp.min(jnp.where(traj.valid, adv["advantage"], big))
-    adv_masked_max = jnp.max(jnp.where(traj.valid, adv["advantage"], -big))
-    g_masked_min = jnp.min(jnp.where(traj.valid, adv["G_norm"], big))
-    g_masked_max = jnp.max(jnp.where(traj.valid, adv["G_norm"], -big))
+    adv_masked_min = amin(jnp.min(jnp.where(traj.valid, adv["advantage"], big)))
+    adv_masked_max = amax(jnp.max(jnp.where(traj.valid, adv["advantage"], -big)))
+    g_masked_min = amin(jnp.min(jnp.where(traj.valid, adv["G_norm"], big)))
+    g_masked_max = amax(jnp.max(jnp.where(traj.valid, adv["G_norm"], -big)))
 
     fnorm_std = jnp.sqrt(fnorm_var)
     adv_std = jnp.sqrt(adv_var)
@@ -79,13 +90,13 @@ def device_stats(traj, adv, aug_valid, aug_points) -> dict:
 
     return dict(
         samples=n,
-        augmented_samples=jnp.sum(aug_valid.astype(jnp.int32)),
+        augmented_samples=ar(jnp.sum(aug_valid.astype(jnp.int32))),
         reward_mean=reward_mean,
         reward_var=reward_var,
         zero_reward_pct=zero_reward_pct,
         advantage_mean=adv_mean,
         advantage_var=adv_var,
-        advantage_l2=jnp.sqrt(jnp.sum(jnp.square(adv["advantage"]) * w)),
+        advantage_l2=jnp.sqrt(ar(jnp.sum(jnp.square(adv["advantage"]) * w))),
         adv_min=adv_masked_min,
         adv_max=adv_masked_max,
         G_norm_mean=fnorm_mean,
