@@ -17,7 +17,7 @@ def Argument(default=None, *args, **kwargs):
     return default
 
 
-def echo(message=""):
+def echo(message="", *args, **kwargs):
     print(message)
 
 

@@ -155,6 +155,18 @@ def cmd_export_demo(args) -> None:
         best = play_best_of(params, model_cfg, model_type,
                             num_games=args.num_games, seed=args.seed)
     export_demo_assets(params, model_cfg, model_type, best, args.output_dir)
+    # Copy the raw checkpoint next to the demo assets (the reference copies
+    # best_model.pt into docs/data, train.py:2064-2069).
+    import shutil
+
+    src_dir = Path(args.model_path)
+    if src_dir.is_dir():
+        name = ("best_model"
+                if (src_dir / "best_model.npz").exists() else "train_state")
+        for ext in (".npz", ".json"):
+            src = src_dir / f"{name}{ext}"
+            if src.exists():
+                shutil.copy2(src, Path(args.output_dir) / f"best_model{ext}")
     print(f"\nDemo assets exported to {args.output_dir}/")
     print("To test locally: cd web && python -m http.server 8000")
 

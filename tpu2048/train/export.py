@@ -9,7 +9,7 @@ from pathlib import Path
 import numpy as np
 
 from ..utils import viz_export
-from ..utils.onnx_writer import export_mlp
+from ..utils.onnx_writer import export_mlp, export_urm
 
 
 def export_demo_assets(params, model_cfg, model_type: str, best_episode,
@@ -22,15 +22,13 @@ def export_demo_assets(params, model_cfg, model_type: str, best_episode,
     else:
         print("Warning: No best game to export (no games were played)")
 
-    if model_type.lower() != "mlp":
-        print(f"ONNX export supports the MLP family only (got {model_type}); "
-              "skipping model.onnx")
-    else:
-        export_mlp(_to_numpy(params), model_cfg, out / "model.onnx")
-        print(f"Model exported to {out / 'model.onnx'}")
+    exporter = export_urm if model_type.lower() == "urm" else export_mlp
+    exporter(_to_numpy(params), model_cfg, out / "model.onnx")
+    print(f"Model exported to {out / 'model.onnx'}")
 
+    cfg_dict = dict(model_cfg.to_dict(), model_type=model_type.lower())
     with open(out / "model_config.json", "w") as f:
-        json.dump(model_cfg.to_dict(), f, indent=2)
+        json.dump(cfg_dict, f, indent=2)
 
 
 def _to_numpy(tree):
