@@ -114,6 +114,21 @@ class MoveSet(NamedTuple):
         return jnp.moveaxis(self.scores, 0, -1)
 
 
+_ALL_MOVES_BACKEND = "xla"  # or "pallas" (set_all_moves_backend)
+
+
+def set_all_moves_backend(name: str) -> None:
+    """Select the fused-merge implementation: 'xla' (default; elementwise
+    program XLA fuses itself) or 'pallas' (the hand-scheduled cell-major
+    Mosaic kernel, ops/pallas_merge.py — bit-exact, opt-in). Also settable
+    via the TPU2048_MERGE_BACKEND environment variable. Takes effect at the
+    next trace (call before jit-compiling the rollout)."""
+    global _ALL_MOVES_BACKEND
+    if name not in ("xla", "pallas"):
+        raise ValueError(f"unknown all_moves backend {name!r}")
+    _ALL_MOVES_BACKEND = name
+
+
 def all_moves(boards: jnp.ndarray) -> MoveSet:
     """Evaluate the slide+merge in all four directions.
 
@@ -122,6 +137,13 @@ def all_moves(boards: jnp.ndarray) -> MoveSet:
     transpose/reverse reduction): UP = columns, DOWN = reversed columns,
     RIGHT = reversed rows.
     """
+    import os
+
+    backend = os.environ.get("TPU2048_MERGE_BACKEND", _ALL_MOVES_BACKEND)
+    if backend == "pallas" and boards.ndim == 3:
+        from ..ops import pallas_merge
+
+        return pallas_merge.all_moves(boards)
     rows_l = boards  # LEFT: rows as-is
     rows_r = boards[..., ::-1]  # RIGHT: reversed rows
     cols = jnp.swapaxes(boards, -1, -2)

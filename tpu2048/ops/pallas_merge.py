@@ -10,9 +10,12 @@ alternative for the hot op, laid out the way the hardware wants it:
  * the per-row compress/merge sweeps become full-block selects with
    statically-masked neighbor shifts (pltpu.roll along the sublane axis), so
    every VPU op works on all 16 cells of every board at once;
- * all four directions are computed from the same block via static cell-index
-   permutations (transpose/reverse become row permutations of the 16
-   sublanes), one grid step per batch tile.
+ * the four directions are handled OUTSIDE the kernel: XLA pre-gathers each
+   direction's cell permutation (transpose/reverse become row permutations of
+   the 16 sublanes), the grid iterates (direction, batch-tile), and the kernel
+   body is the pure merge-left sweep. Round 1 put the 4x16 single-sublane
+   permutation concats inside the kernel and Mosaic's v5e compile hung >10 min
+   (ROADMAP round 1); with the gathers hoisted the body is roll/select-only.
 
 Outputs per direction d (0=UP 1=DOWN 2=LEFT 3=RIGHT): merged boards, merge
 scores, legality (board changed). Matches engine.all_moves bit-for-bit (see
@@ -112,54 +115,51 @@ def _merge_left_block(x):
     return compress(x), score, maxc
 
 
-def _kernel(boards_ref, out_ref, scores_ref, legal_ref, maxc_ref):
-    b = boards_ref[...]  # (16, BLOCK_N)
-    for d in range(4):
-        # Static row permutations (no captured index constants).
-        work = jnp.concatenate([b[p:p + 1, :] for p in _PERMS[d]], axis=0)
-        merged, score, maxc = _merge_left_block(work)
-        restored = jnp.concatenate(
-            [merged[p:p + 1, :] for p in _INV_PERMS[d]], axis=0)
-        out_ref[d, :, :] = restored
-        scores_ref[d, :] = score[0]
-        maxc_ref[d, :] = maxc[0]
-        legal_ref[d, :] = jnp.any(restored != b, axis=0)
+def _kernel(work_ref, out_ref, scores_ref, maxc_ref):
+    """Pure merge-left over one (16, BLOCK_N) pre-permuted tile. Score/maxc
+    blocks carry 8 sublanes (Mosaic's minimum f32/i32 tile height); only
+    sublane 0 is meaningful."""
+    merged, score, maxc = _merge_left_block(work_ref[0])
+    out_ref[0] = merged
+    scores_ref[0] = jnp.broadcast_to(score, scores_ref.shape[1:])
+    maxc_ref[0] = jnp.broadcast_to(maxc, maxc_ref.shape[1:])
 
 
 @partial(jax.jit, static_argnames=("block_n",))
-def all_moves_cellmajor(boards_cm: jnp.ndarray, block_n: int = BLOCK_N):
-    """boards_cm: (16, N) int32, cell-major. N must be a multiple of block_n.
-    Returns (out (4, 16, N), scores (4, N), legal (4, N), max_created (4, N)).
-    """
-    N = boards_cm.shape[1]
-    grid = (N // block_n,)
-    out, scores, legal, maxc = pl.pallas_call(
+def merge_left_all_dirs(work: jnp.ndarray, block_n: int = BLOCK_N):
+    """work: (4, 16, N) int32 — each direction's boards already permuted to
+    cell-major merge-left layout. N must be a multiple of block_n.
+    Returns (merged (4, 16, N), scores (4, N), max_created (4, N))."""
+    N = work.shape[2]
+    grid = (4, N // block_n)
+    out, scores8, maxc8 = pl.pallas_call(
         _kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((NUM_CELLS, block_n), lambda i: (0, i),
+            pl.BlockSpec((1, NUM_CELLS, block_n), lambda d, i: (d, 0, i),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((4, NUM_CELLS, block_n), lambda i: (0, 0, i),
+            pl.BlockSpec((1, NUM_CELLS, block_n), lambda d, i: (d, 0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, block_n), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, block_n), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, block_n), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, block_n), lambda d, i: (d, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, block_n), lambda d, i: (d, 0, i),
+                         memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((4, NUM_CELLS, N), jnp.int32),
-            jax.ShapeDtypeStruct((4, N), jnp.int32),
-            jax.ShapeDtypeStruct((4, N), jnp.bool_),
-            jax.ShapeDtypeStruct((4, N), jnp.int32),
+            jax.ShapeDtypeStruct((4, 8, N), jnp.int32),
+            jax.ShapeDtypeStruct((4, 8, N), jnp.int32),
         ),
-    )(boards_cm)
-    return out, scores, legal, maxc
+    )(work)
+    return out, scores8[:, 0, :], maxc8[:, 0, :]
 
 
 def all_moves(boards: jnp.ndarray, block_n: int = BLOCK_N):
     """Drop-in variant of engine.all_moves for (N, 4, 4) boards via the Pallas
-    kernel. Returns the same MoveSet tuple."""
+    kernel. Returns the same MoveSet tuple. The direction permutations and
+    legality compare are cheap XLA gathers around the Pallas merge."""
     from ..env.engine import MoveSet
 
     N = boards.shape[0]
@@ -167,7 +167,12 @@ def all_moves(boards: jnp.ndarray, block_n: int = BLOCK_N):
     cm = boards.reshape(N, NUM_CELLS).T  # (16, N)
     if pad:
         cm = jnp.pad(cm, ((0, 0), (0, pad)))
-    out, scores, legal, maxc = all_moves_cellmajor(cm, block_n)
-    out = out[:, :, :N]
-    boards_out = jnp.moveaxis(out, 1, 2).reshape(4, N, 4, 4)
+    work = cm[jnp.asarray(_PERMS)]  # (4, 16, Npad): per-direction row gather
+    out, scores, maxc = merge_left_all_dirs(work, block_n)
+    restored = jnp.take_along_axis(
+        out, jnp.asarray(_INV_PERMS)[:, :, None], axis=1
+    )  # undo each direction's permutation
+    legal = jnp.any(restored != cm[None], axis=1)
+    restored = restored[:, :, :N]
+    boards_out = jnp.moveaxis(restored, 1, 2).reshape(4, N, 4, 4)
     return MoveSet(boards_out, scores[:, :N], maxc[:, :N], legal[:, :N])

@@ -1,6 +1,9 @@
 /**
- * Demo UI controller: replay mode (step through best_game.json) and live mode
- * (the ONNX model plays in-browser with probability bars).
+ * Demo UI controller: replay mode (step through best_game.json), live mode
+ * (the ONNX model plays in-browser with probability bars), and human mode
+ * (arrow keys / WASD — the graphical human-play client; the reference's is a
+ * pgzero desktop window, play.py:1-138). In human mode the model, when
+ * loaded, shows what it would have played as a hint.
  */
 "use strict";
 
@@ -31,6 +34,8 @@ class UIController {
   bind() {
     this.$("btn-mode-replay").onclick = () => this.setMode("replay");
     this.$("btn-mode-live").onclick = () => this.setMode("live");
+    this.$("btn-mode-human").onclick = () => this.setMode("human");
+    document.addEventListener("keydown", (e) => this.onKey(e));
     this.$("btn-play").onclick = () => this.setPlaying(!this.playing);
     this.$("btn-step").onclick = () => this.stepOnce();
     this.$("btn-restart").onclick = () => this.restart();
@@ -75,26 +80,60 @@ class UIController {
     this.mode = mode;
     this.$("btn-mode-replay").classList.toggle("active", mode === "replay");
     this.$("btn-mode-live").classList.toggle("active", mode === "live");
+    this.$("btn-mode-human").classList.toggle("active", mode === "human");
     this.$("slider-wrap").style.display = mode === "replay" ? "" : "none";
-    this.$("probs").style.display = mode === "live" ? "" : "none";
+    this.$("probs").style.display = mode === "replay" ? "none" : "";
     if (mode === "replay") {
       this.replayIdx = 0;
       this.renderReplay();
     } else {
       this.restart();
     }
+    if (mode === "human") {
+      this.setStatus("Your move — arrow keys or WASD");
+    }
   }
 
   restart() {
     this.setPlaying(false);
-    if (this.mode === "live") {
+    if (this.mode === "live" || this.mode === "human") {
       this.game = new Game2048();
       this.game.reset();
       this.renderLive(null);
+      if (this.mode === "human") this.showHint();
     } else {
       this.replayIdx = 0;
       this.renderReplay();
     }
+  }
+
+  async onKey(e) {
+    if (this.mode !== "human" || !this.game) return;
+    const keys = {
+      ArrowUp: 0, w: 0, W: 0, ArrowDown: 1, s: 1, S: 1,
+      ArrowLeft: 2, a: 2, A: 2, ArrowRight: 3, d: 3, D: 3,
+    };
+    const action = keys[e.key];
+    if (action === undefined) return;
+    e.preventDefault();
+    if (!this.game.hasNextStep()) return;
+    const gained = this.game.move(action); // -1 = board unchanged (illegal)
+    const names = ["UP", "DOWN", "LEFT", "RIGHT"];
+    this.renderLive(null);
+    if (gained < 0) {
+      this.setStatus(`${names[action]} is not a legal move`);
+      return;
+    }
+    if (!this.game.hasNextStep()) return; // renderLive printed game over
+    this.setStatus(`You played ${names[action]}`);
+    this.showHint();
+  }
+
+  async showHint() {
+    // Model's opinion of the CURRENT position (post-move), as a teaching aid.
+    if (!this.model || !this.game.hasNextStep()) return;
+    const pick = await this.model.selectMove(this.game, { greedy: true });
+    if (pick) this.renderProbs(pick.probs);
   }
 
   setPlaying(on) {
@@ -160,21 +199,26 @@ class UIController {
     if (pick) {
       const names = ["UP", "DOWN", "LEFT", "RIGHT"];
       this.setStatus(`Model played ${names[pick.action]} (V=${pick.value.toFixed(2)})`);
-      const bars = this.$("probs");
-      bars.innerHTML = "";
-      pick.probs.forEach((p, d) => {
-        const row = document.createElement("div");
-        row.className = "prob-row";
-        row.innerHTML =
-          `<span>${names[d]}</span>` +
-          `<div class="bar-wrap"><div class="bar" style="width:${(p * 100).toFixed(1)}%"></div></div>` +
-          `<b>${(p * 100).toFixed(1)}%</b>`;
-        bars.appendChild(row);
-      });
+      this.renderProbs(pick.probs);
     }
     if (!this.game.hasNextStep()) {
       this.setStatus(`Game over — score ${this.game.score()}, best tile ${this.game.getMaxTile()}`);
     }
+  }
+
+  renderProbs(probs) {
+    const names = ["UP", "DOWN", "LEFT", "RIGHT"];
+    const bars = this.$("probs");
+    bars.innerHTML = this.mode === "human" ? "<h2>Model hint</h2>" : "";
+    probs.forEach((p, d) => {
+      const row = document.createElement("div");
+      row.className = "prob-row";
+      row.innerHTML =
+        `<span>${names[d]}</span>` +
+        `<div class="bar-wrap"><div class="bar" style="width:${(p * 100).toFixed(1)}%"></div></div>` +
+        `<b>${(p * 100).toFixed(1)}%</b>`;
+      bars.appendChild(row);
+    });
   }
 }
 
