@@ -58,12 +58,20 @@ def mlp_forward_flops(hidden: int, layers: int) -> int:
     return 2 * (48 * hidden + layers * hidden * hidden + hidden * 5)
 
 
+def _fetch(out):
+    """Hard host barrier: materialize one leaf. On the remote-attached TPU
+    platform block_until_ready can return before execution completes (the
+    first 'timed' call then reads ~1 ms — observed in round 2); an actual
+    device->host transfer is the only reliable barrier."""
+    leaf = jax.tree.leaves(out)[0]
+    np.asarray(leaf if leaf.ndim == 0 else leaf.ravel()[0])
+
+
 def _timeit(fn, repeats=3):
     best = float("inf")
     for _ in range(repeats):
         t0 = time.perf_counter()
-        out = fn()
-        jax.block_until_ready(out)
+        _fetch(fn())
         best = min(best, time.perf_counter() - t0)
     return best
 
@@ -93,7 +101,7 @@ def bench_env_only(batch: int = 8192, iters: int = 256) -> float:
         return boards, rewards.sum()
 
     boards = jax.jit(lambda k: engine.reset(k, (batch,)))(jax.random.key(0))
-    jax.block_until_ready(run(boards, jax.random.key(1), iters))  # compile
+    _fetch(run(boards, jax.random.key(1), iters))  # compile + barrier
     dt = _timeit(lambda: run(boards, jax.random.key(2), iters))
     return batch * iters / dt
 
@@ -112,16 +120,16 @@ def bench_fused_rollout(batch: int = 4096, steps: int = 512) -> dict:
 
     f = jax.jit(lambda p, k: R.rollout(apply_eval, p, k, batch, steps))
     traj = f(params, jax.random.key(1))
-    jax.block_until_ready(traj.total_points)  # compile
+    np.asarray(traj.num_moves)  # compile + hard barrier
 
     best, moves, trips = float("inf"), None, None
     per_run = []
     for i in range(3):
         t0 = time.perf_counter()
         t = f(params, jax.random.key(2 + i))
-        jax.block_until_ready(t.num_moves)
+        nm = np.asarray(t.num_moves)  # the barrier IS the fetch
         dt = time.perf_counter() - t0
-        m = int(np.asarray(t.num_moves).sum())
+        m = int(nm.sum())
         tr = int(t.steps_executed)
         per_run.append(dict(seconds=round(dt, 4), total_moves=m, trip_count=tr))
         if dt < best:
@@ -180,8 +188,7 @@ def bench_learner(batch_size: int = 512, S: int = 8192,
         valid=jnp.ones((S,), jnp.bool_),
     )
     args = (jnp.float32(0.02), jnp.float32(0.2), jnp.float32(1.0))
-    out = optimize(params, state, ds, jax.random.key(1), *args)
-    jax.block_until_ready(out[0])
+    _fetch(optimize(params, state, ds, jax.random.key(1), *args))
     n_updates = S // batch_size
     dt = _timeit(lambda: optimize(params, state, ds, jax.random.key(2), *args))
 
