@@ -24,37 +24,40 @@ import jax.numpy as jnp
 
 def bench_mesh(n_devices: int, envs_per_device: int, max_steps: int,
                batch_per_device: int, repeats: int = 3) -> float:
-    from tpu2048.algo.advantage import RewardWeights, RtgMoments
-    from tpu2048.models import MLPConfig, mlp
+    import numpy as np
+
+    from tpu2048.algo.advantage import RtgMoments
     from tpu2048.ops import OptimizerConfig
     from tpu2048.ops import optimizer as opt
     from tpu2048.parallel import make_mesh, make_sharded_train_step
+    from tpu2048.train.loop import SCALAR_KEYS, TrainConfig, build_model
 
     mesh = make_mesh(n_devices)
-    cfg = MLPConfig(hidden_dim=196, num_layers=2)
-    params = mlp.init(jax.random.key(0), cfg)
-    labels = mlp.param_labels(params)
-    step = make_sharded_train_step(
-        mesh, lambda p, x: mlp.apply(p, cfg, x),
-        lambda p, x, r: mlp.apply(p, cfg, x, train=True, rng=r),
-        labels, OptimizerConfig(learning_rate=1e-3, critic_lr=1e-4),
-        num_envs=envs_per_device * n_devices, max_steps=max_steps,
-        batch_size=batch_per_device * n_devices, epochs=1,
-        weights=RewardWeights(points=0.1, monotonicity=1.0),
-        gamma=0.99, rtg_beta=0.99, warmup_steps=10, total_steps=100,
+    cfg = TrainConfig(
+        steps=100, num_episodes=envs_per_device * n_devices,
+        batch_size=batch_per_device * n_devices, scan_cap=max_steps,
+        hidden_size=196, num_layers=2, warmup_steps=10,
+        points_weight=0.1, monotonicity_weight=1.0, upsample_ratio=0.25,
+        critic_strength=0.2, rtg_beta=0.99, kl_diagnostic=False,
+        mesh_data=n_devices,
     )
+    model_cfg, init_fn, apply_eval, apply_train, labels_fn = build_model(cfg)
+    params = init_fn(jax.random.key(0))
+    labels = labels_fn(params)
+    step = make_sharded_train_step(
+        mesh, cfg, apply_eval, apply_train, labels,
+        OptimizerConfig(learning_rate=1e-3, critic_lr=1e-4),
+    )
+    env_idx = SCALAR_KEYS.index("env_steps")
     args = (params, opt.init(params, labels), RtgMoments.initial(),
-            jax.random.key(1), jnp.int32(1), jnp.float32(0.02))
-    out = step(*args)
-    jax.block_until_ready(out)
-    best = float("inf")
-    env_steps = None
+            jax.random.key(1), jnp.int32(20), jnp.float32(0.02))
+    np.asarray(step(*args)[4]["scalars"])  # compile + hard barrier
+    best, env_steps = float("inf"), None
     for _ in range(repeats):
         t0 = time.perf_counter()
-        out = step(*args)
-        jax.block_until_ready(out)
+        sc = np.asarray(step(*args)[4]["scalars"])  # the fetch IS the barrier
         best = min(best, time.perf_counter() - t0)
-        env_steps = int(out[3]["env_steps"])
+        env_steps = int(sc[env_idx])
     return env_steps / best
 
 
