@@ -1,8 +1,11 @@
 """Demo-asset export: ONNX model + model_config.json + best_game.json
-(reference export-demo command, train.py:1946-2072)."""
+(reference export-demo command, train.py:1946-2072), plus a raw-weights JSON
+(model_weights.json) consumed by the demo's dependency-free JS forward pass
+(web/js/mlp.js) when ONNX Runtime Web is unavailable (offline/air-gapped)."""
 
 from __future__ import annotations
 
+import base64
 import json
 from pathlib import Path
 
@@ -23,12 +26,50 @@ def export_demo_assets(params, model_cfg, model_type: str, best_episode,
         print("Warning: No best game to export (no games were played)")
 
     exporter = export_urm if model_type.lower() == "urm" else export_mlp
-    exporter(_to_numpy(params), model_cfg, out / "model.onnx")
+    np_params = _to_numpy(params)
+    exporter(np_params, model_cfg, out / "model.onnx")
     print(f"Model exported to {out / 'model.onnx'}")
 
     cfg_dict = dict(model_cfg.to_dict(), model_type=model_type.lower())
     with open(out / "model_config.json", "w") as f:
         json.dump(cfg_dict, f, indent=2)
+
+    if model_type.lower() == "mlp":
+        export_weights_json(np_params, model_cfg, out / "model_weights.json")
+        print(f"Raw weights exported to {out / 'model_weights.json'}")
+
+
+def _tensor_b64(a: np.ndarray) -> dict:
+    """Exact float32 tensor as {shape, data}: little-endian f32 base64 —
+    4 bytes/param, decoded in JS with atob + Float32Array."""
+    a = np.ascontiguousarray(a, dtype="<f4")
+    return {"shape": list(a.shape),
+            "data": base64.b64encode(a.tobytes()).decode("ascii")}
+
+
+def export_weights_json(np_params: dict, model_cfg, path) -> None:
+    """GameMLP weights for the pure-JS forward (web/js/mlp.js). Layout mirrors
+    models/mlp.py:apply: stem Linear(48->h, no bias)+LN+ReLU; blocks of
+    x + ReLU(LN(Linear(x))); biased action/value heads."""
+    doc = {
+        "format": "tpu2048-mlp-weights-v1",
+        "config": model_cfg.to_dict(),
+        "stem": {"w": _tensor_b64(np_params["stem"]["lin"]["w"]),
+                 "ln_g": _tensor_b64(np_params["stem"]["ln"]["g"]),
+                 "ln_b": _tensor_b64(np_params["stem"]["ln"]["b"])},
+        "blocks": [
+            {"w": _tensor_b64(b["lin"]["w"]),
+             "ln_g": _tensor_b64(b["ln"]["g"]),
+             "ln_b": _tensor_b64(b["ln"]["b"])}
+            for b in np_params["blocks"]
+        ],
+        "action_head": {"w": _tensor_b64(np_params["action_head"]["w"]),
+                        "b": _tensor_b64(np_params["action_head"]["b"])},
+        "value_head": {"w": _tensor_b64(np_params["value_head"]["w"]),
+                       "b": _tensor_b64(np_params["value_head"]["b"])},
+    }
+    with open(path, "w") as f:
+        json.dump(doc, f)
 
 
 def _to_numpy(tree):

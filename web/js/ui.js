@@ -65,10 +65,17 @@ class UIController {
       this.setStatus("no best_game.json found — run export-demo");
     }
     try {
-      this.model = await GameModel.load("data/model.onnx");
+      if (typeof ort === "undefined") {
+        // CDN unreachable (offline/air-gapped): dependency-free JS forward
+        // over the raw-weights artifact instead of ONNX Runtime Web.
+        this.model = await PureJsModel.load("data/model_weights.json");
+        this.setStatus("offline mode: pure-JS inference (no ONNX Runtime)");
+      } else {
+        this.model = await GameModel.load("data/model.onnx");
+      }
       this.$("btn-mode-live").disabled = false;
     } catch (e) {
-      this.setStatus("model.onnx unavailable — live mode disabled");
+      this.setStatus("model unavailable — live mode disabled");
     }
     this.setMode("replay");
   }
