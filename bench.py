@@ -206,11 +206,82 @@ def bench_learner(batch_size: int = 512, S: int = 8192,
     )
 
 
+def bench_train_step(episodes: int = 256, minibatch: int = 4096,
+                     repeats: int = 5) -> dict:
+    """Full end-to-end train step (fused rollout + advantage + augmentation +
+    minibatched PPO with per-minibatch Muon/AdamW stepping) at the
+    high-throughput config — the number BENCH.md's 'end-to-end' row makes a
+    claim about. Times the same two jitted programs train/loop.py dispatches
+    per step, barriered by the packed-scalars fetch the real loop performs."""
+    from tpu2048.algo import rollout as R
+    from tpu2048.algo import update as U
+    from tpu2048.train import loop as L
+
+    cfg = L.TrainConfig(
+        steps=1, learning_rate=1e-3, critic_lr=1e-4, gamma=0.99,
+        entropy_strength=0.02, critic_strength=0.2, num_episodes=episodes,
+        batch_size=minibatch, hidden_size=196, num_layers=2,
+        points_weight=0.10, monotonicity_weight=1.0, rtg_beta=0.99,
+        warmup_steps=10, upsample_ratio=0.25, kl_diagnostic=False,
+        scan_cap=2048,
+    )
+    from tpu2048.ops import OptimizerConfig
+    from tpu2048.ops import optimizer as opt
+    from tpu2048.algo import advantage as A
+
+    model_cfg, init_fn, apply_eval, apply_train, labels_fn = L.build_model(cfg)
+    params = init_fn(jax.random.key(0))
+    labels = labels_fn(params)
+    ocfg = OptimizerConfig(learning_rate=cfg.learning_rate,
+                           critic_lr=cfg.critic_lr)
+    opt_state = opt.init(params, labels)
+    moments = A.RtgMoments.initial()
+    optimize_fn = U.make_optimize_fn(apply_train, labels, ocfg,
+                                     cfg.batch_size, cfg.ppo_epochs,
+                                     kl_diagnostic=False)
+    process_fn = L.make_process_fn(cfg, apply_train, labels, optimize_fn)
+    rollout_fn = jax.jit(lambda p, k: R.rollout(
+        apply_eval, p, k, cfg.num_episodes, cfg.rollout_cap))
+
+    def one_step(p, o, m, k, step):
+        k_roll, k_proc = jax.random.split(k)
+        traj = rollout_fn(p, k_roll)
+        p, o, m, out = process_fn(p, o, traj, m, k_proc, jnp.int32(step),
+                                  jnp.float32(0.02))
+        return p, o, m, out
+
+    # Warm-up (compile both programs) with a hard fetch.
+    p, o, m = params, opt_state, moments
+    p, o, m, out = one_step(p, o, m, jax.random.key(1), 1)
+    _fetch(out["scalars"])
+
+    best, env_steps = float("inf"), 0
+    per_run = []
+    for i in range(repeats):
+        t0 = time.perf_counter()
+        p, o, m, out = one_step(p, o, m, jax.random.key(2 + i), 2 + i)
+        sc = np.asarray(out["scalars"])  # the barrier the real loop pays
+        dt = time.perf_counter() - t0
+        es = int(sc[L.SCALAR_KEYS.index("env_steps")])
+        per_run.append(dict(seconds=round(dt, 4), env_steps=es))
+        if dt < best:
+            best, env_steps = dt, es
+    return dict(
+        env_steps_per_second=env_steps / best,
+        seconds_per_step=round(best, 4),
+        env_steps_per_train_step=env_steps,
+        episodes=episodes, minibatch=minibatch,
+        model="mlp_h196_l2", kl_diagnostic=False,
+        runs=per_run,
+    )
+
+
 def main() -> None:
     env_sps = bench_env_only()
     ro = bench_fused_rollout()
     learner = bench_learner(512, kl_diagnostic=True)
     learner_fast = bench_learner(4096, S=32768, kl_diagnostic=False)
+    e2e = bench_train_step()
     err = lambda s: print(s, file=sys.stderr)
     err(f"# fused rollout (env+policy): {ro['env_steps_per_second']:,.0f} "
         f"env-steps/s ({ro['total_moves']} moves / {ro['trip_count']} trips "
@@ -221,6 +292,9 @@ def main() -> None:
         f"({learner['samples_per_second']:,.0f} samples/s)")
     err(f"# learner bs=4096 no-KL:      {learner_fast['updates_per_second']:,.1f} updates/s "
         f"({learner_fast['samples_per_second']:,.0f} samples/s)")
+    err(f"# end-to-end train step (HT): {e2e['env_steps_per_second']:,.0f} "
+        f"env-steps/s ({e2e['seconds_per_step']}s/step, "
+        f"{e2e['env_steps_per_train_step']} env steps/step)")
     print(json.dumps({
         "metric": "fused_rollout_env_steps_per_second",
         "value": round(ro["env_steps_per_second"]),
@@ -231,6 +305,7 @@ def main() -> None:
             "env_only_steps_per_second": round(env_sps),
             "learner_bs512_kl": learner,
             "learner_bs4096_nokl": learner_fast,
+            "train_step_e2e_ht": e2e,
             "device": jax.devices()[0].device_kind,
         },
     }))
