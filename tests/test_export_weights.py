@@ -71,3 +71,70 @@ def test_export_demo_assets_writes_weights(tmp_path):
     export_demo_assets(params, cfg, "mlp", None, tmp_path)
     for f in ("model.onnx", "model_config.json", "model_weights.json"):
         assert (tmp_path / f).exists(), f
+
+
+def _urm_forward(doc, x48):
+    """The exact computation web/js/urm.js performs, in numpy (single input)."""
+    cfg = doc["config"]
+    h, nh, eps = cfg["hidden_dim"], cfg["num_heads"], cfg["rms_norm_eps"]
+    hd, L, k = h // nh, 16, cfg["conv_kernel"]
+    silu = lambda v: v / (1 + np.exp(-v))
+
+    def rmsn(v):
+        return v / np.sqrt((v * v).mean(-1, keepdims=True) + eps)
+
+    cells = x48.reshape(L, 3)
+    s = cells @ _dec(doc["stem"]["w"]).T
+    mu = s.mean(-1, keepdims=True)
+    var = ((s - mu) ** 2).mean(-1, keepdims=True)
+    emb = silu((s - mu) / np.sqrt(var + 1e-5) * _dec(doc["stem"]["ln_g"])
+               + _dec(doc["stem"]["ln_b"]))
+
+    hid = _dec(doc["init_hidden"]).copy()
+    pad = k // 2
+    for _ in range(cfg["num_loops"]):
+        hid = hid + emb
+        for blk in doc["blocks"]:
+            qkv = hid @ _dec(blk["qkv"]).T  # (L, 3h)
+            q, kk, v = qkv[:, :h], qkv[:, h:2 * h], qkv[:, 2 * h:]
+            att = np.zeros((L, h))
+            for head in range(nh):
+                o = head * hd
+                sc = q[:, o:o + hd] @ kk[:, o:o + hd].T / np.sqrt(hd)
+                w = np.exp(sc - sc.max(-1, keepdims=True))
+                w /= w.sum(-1, keepdims=True)
+                att[:, o:o + hd] = w @ v[:, o:o + hd]
+            hid = rmsn(hid + att @ _dec(blk["o"]).T)
+            gu = hid @ _dec(blk["gate_up"]).T
+            inter = gu.shape[-1] // 2
+            hb = silu(gu[:, :inter]) * gu[:, inter:]
+            cw, cb = _dec(blk["dwconv_w"]), _dec(blk["dwconv_b"])
+            conv = np.zeros_like(hb) + cb
+            for j in range(k):
+                lo, hi = max(0, pad - j), min(L, L + pad - j)
+                conv[lo:hi] += hb[lo + j - pad:hi + j - pad] * cw[:, j]
+            hid = rmsn(hid + silu(conv) @ _dec(blk["down"]).T)
+    pooled = hid.mean(0)
+    return (pooled @ _dec(doc["action_head"]["w"]).T + _dec(doc["action_head"]["b"]),
+            pooled @ _dec(doc["value_head"]["w"]).T + _dec(doc["value_head"]["b"]))
+
+
+def test_urm_weights_json_roundtrip(tmp_path):
+    from tpu2048.models import URMConfig, urm
+
+    cfg = URMConfig(hidden_dim=32, num_layers=2, num_heads=4, num_loops=3,
+                    num_truncated_loops=1)
+    params = urm.init(jax.random.key(3), cfg, zero_heads=False)
+    path = tmp_path / "model_weights.json"
+    export_weights_json(jax.tree.map(np.asarray, params), cfg, path,
+                        model_type="urm")
+    doc = json.loads(path.read_text())
+    assert doc["format"] == "tpu2048-urm-weights-v1"
+
+    x = np.asarray(jax.random.normal(jax.random.key(1), (48,)), np.float32)
+    want_logits, want_value = urm.apply(params, cfg, jnp.asarray(x)[None])
+    got_logits, got_value = _urm_forward(doc, x)
+    np.testing.assert_allclose(got_logits, np.asarray(want_logits)[0],
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(got_value, np.asarray(want_value)[0],
+                               rtol=2e-4, atol=2e-5)

@@ -34,9 +34,9 @@ def export_demo_assets(params, model_cfg, model_type: str, best_episode,
     with open(out / "model_config.json", "w") as f:
         json.dump(cfg_dict, f, indent=2)
 
-    if model_type.lower() == "mlp":
-        export_weights_json(np_params, model_cfg, out / "model_weights.json")
-        print(f"Raw weights exported to {out / 'model_weights.json'}")
+    export_weights_json(np_params, model_cfg, out / "model_weights.json",
+                        model_type=model_type)
+    print(f"Raw weights exported to {out / 'model_weights.json'}")
 
 
 def _tensor_b64(a: np.ndarray) -> dict:
@@ -47,10 +47,14 @@ def _tensor_b64(a: np.ndarray) -> dict:
             "data": base64.b64encode(a.tobytes()).decode("ascii")}
 
 
-def export_weights_json(np_params: dict, model_cfg, path) -> None:
-    """GameMLP weights for the pure-JS forward (web/js/mlp.js). Layout mirrors
-    models/mlp.py:apply: stem Linear(48->h, no bias)+LN+ReLU; blocks of
-    x + ReLU(LN(Linear(x))); biased action/value heads."""
+def export_weights_json(np_params: dict, model_cfg, path,
+                        model_type: str = "mlp") -> None:
+    """Raw weights for the pure-JS forward (web/js/mlp.js / web/js/urm.js).
+    MLP layout mirrors models/mlp.py:apply: stem Linear(48->h, no bias)
+    +LN+ReLU; blocks of x + ReLU(LN(Linear(x))); biased action/value heads.
+    URM layout mirrors models/urm.py:apply."""
+    if model_type.lower() == "urm":
+        return _export_urm_weights_json(np_params, model_cfg, path)
     doc = {
         "format": "tpu2048-mlp-weights-v1",
         "config": model_cfg.to_dict(),
@@ -61,6 +65,36 @@ def export_weights_json(np_params: dict, model_cfg, path) -> None:
             {"w": _tensor_b64(b["lin"]["w"]),
              "ln_g": _tensor_b64(b["ln"]["g"]),
              "ln_b": _tensor_b64(b["ln"]["b"])}
+            for b in np_params["blocks"]
+        ],
+        "action_head": {"w": _tensor_b64(np_params["action_head"]["w"]),
+                        "b": _tensor_b64(np_params["action_head"]["b"])},
+        "value_head": {"w": _tensor_b64(np_params["value_head"]["w"]),
+                       "b": _tensor_b64(np_params["value_head"]["b"])},
+    }
+    with open(path, "w") as f:
+        json.dump(doc, f)
+
+
+def _export_urm_weights_json(np_params: dict, model_cfg, path) -> None:
+    """GameURM weights for web/js/urm.js (models/urm.py:apply: per-cell stem
+    Linear(3->h)+LN+SiLU; num_loops recurrent passes of [MHA + ConvSwiGLU,
+    post-add RMSNorm]; mean-pool; biased heads). Truncated-loop gradient
+    stopping is a training-only concern — inference runs all loops alike."""
+    doc = {
+        "format": "tpu2048-urm-weights-v1",
+        "config": model_cfg.to_dict(),
+        "stem": {"w": _tensor_b64(np_params["stem"]["lin"]["w"]),
+                 "ln_g": _tensor_b64(np_params["stem"]["ln"]["g"]),
+                 "ln_b": _tensor_b64(np_params["stem"]["ln"]["b"])},
+        "init_hidden": _tensor_b64(np_params["init_hidden"][0]),  # (16, h)
+        "blocks": [
+            {"qkv": _tensor_b64(b["qkv"]["w"]),
+             "o": _tensor_b64(b["o"]["w"]),
+             "gate_up": _tensor_b64(b["gate_up"]["w"]),
+             "dwconv_w": _tensor_b64(b["dwconv"]["w"]),
+             "dwconv_b": _tensor_b64(b["dwconv"]["b"]),
+             "down": _tensor_b64(b["down"]["w"])}
             for b in np_params["blocks"]
         ],
         "action_head": {"w": _tensor_b64(np_params["action_head"]["w"]),

@@ -68,7 +68,7 @@ class UIController {
       if (typeof ort === "undefined") {
         // CDN unreachable (offline/air-gapped): dependency-free JS forward
         // over the raw-weights artifact instead of ONNX Runtime Web.
-        this.model = await PureJsModel.load("data/model_weights.json");
+        this.model = await loadPureJsModel("data/model_weights.json");
         this.setStatus("offline mode: pure-JS inference (no ONNX Runtime)");
       } else {
         this.model = await GameModel.load("data/model.onnx");
