@@ -22,10 +22,12 @@ from tpu2048.train.evaluate import load_model_checkpoint
 
 
 def main(ckpt_dir="checkpoints_ht", train_step=4500, gamma=0.99,
-         points_w=0.10, mono_w=1.0):
-    params, mc, mt = load_model_checkpoint(ckpt_dir)
+         points_w=0.10, mono_w=1.0, src_dir=None, highest_score=0):
+    """Keep train_step high enough that the RTG bias correction
+    (1 - rtg_beta^step) is ~1.0 for the stored unbiased moments."""
+    params, mc, mt = load_model_checkpoint(src_dir or ckpt_dir)
     import json
-    manifest_best = json.load(open(Path(ckpt_dir) / "best_model.json"))
+    manifest_best = json.load(open(Path(src_dir or ckpt_dir) / "best_model.json"))
     labels = mlp.param_labels(params)
     opt_state = opt.init(params, labels)
 
@@ -56,13 +58,14 @@ def main(ckpt_dir="checkpoints_ht", train_step=4500, gamma=0.99,
                          key=jax.random.key_data(key)),
         manifest=dict(
             train_step=train_step,
-            highest_score=31904,  # round-1 best game (BENCH.md)
+            highest_score=int(highest_score),
             best_eval_avg=float(manifest_best.get("eval_avg_score", 0.0)),
             emas=dict(avg_score=5000.0, pct_512=50.0, pct_1024=10.0,
                       pct_2048=0.0, explained_var=0.3),
             current_beta=0.02,
             config={}, model_config=mc.to_dict(),
-            warmstart="params from best_model (round 1, eval avg 5544); "
+            warmstart=f"params from {src_dir or ckpt_dir}/best_model "
+                      f"(eval avg {manifest_best.get('eval_avg_score')}); "
                       "fresh optimizer; moments measured from a rollout",
         ),
     )
@@ -70,4 +73,17 @@ def main(ckpt_dir="checkpoints_ht", train_step=4500, gamma=0.99,
 
 
 if __name__ == "__main__":
-    main()
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ckpt-dir", default="checkpoints_ht")
+    ap.add_argument("--src-dir", default=None,
+                    help="where to read best_model from (default: ckpt-dir)")
+    ap.add_argument("--train-step", type=int, default=4500)
+    ap.add_argument("--gamma", type=float, default=0.99)
+    ap.add_argument("--points", type=float, default=0.10)
+    ap.add_argument("--mono", type=float, default=1.0)
+    ap.add_argument("--highest-score", type=int, default=0)
+    a = ap.parse_args()
+    main(a.ckpt_dir, a.train_step, a.gamma, a.points, a.mono, a.src_dir,
+         a.highest_score)
