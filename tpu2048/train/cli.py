@@ -123,7 +123,15 @@ def cmd_train(args) -> None:
     train(TrainConfig(**kwargs))
 
 
+def _apply_platform(args) -> None:
+    if getattr(args, "platform", None):
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+
+
 def cmd_evaluate(args) -> None:
+    _apply_platform(args)
     from .evaluate import evaluate_checkpoint
 
     evaluate_checkpoint(args.model_path, games=args.games, seed=args.seed,
@@ -131,6 +139,7 @@ def cmd_evaluate(args) -> None:
 
 
 def cmd_export_demo(args) -> None:
+    _apply_platform(args)
     from .evaluate import load_model_checkpoint
     from .export import export_demo_assets
     from .evaluate import play_best_of
@@ -222,6 +231,8 @@ def main(argv=None) -> None:
                         help="Argmax actions instead of sampling")
     p_eval.add_argument("--env-seed", dest="env_seed", type=int, default=12345,
                         help="Seed of the fixed eval env stream")
+    p_eval.add_argument("--platform", default=None,
+                        help="Force a JAX platform (cpu/tpu)")
     p_eval.set_defaults(fn=cmd_evaluate)
 
     p_exp = sub.add_parser("export-demo", help="Export demo assets for the web UI")
@@ -233,6 +244,8 @@ def main(argv=None) -> None:
     p_exp.add_argument("--gpu", action="store_true")
     p_exp.add_argument("--batch-size", "-b", type=int, default=32)
     p_exp.add_argument("--seed", type=int, default=0)
+    p_exp.add_argument("--platform", default=None,
+                       help="Force a JAX platform (cpu/tpu)")
     p_exp.set_defaults(fn=cmd_export_demo)
 
     p_human = sub.add_parser("human", help="Play 2048 yourself (WASD/arrows)")
