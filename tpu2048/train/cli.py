@@ -135,7 +135,8 @@ def cmd_evaluate(args) -> None:
     from .evaluate import evaluate_checkpoint
 
     evaluate_checkpoint(args.model_path, games=args.games, seed=args.seed,
-                        greedy=args.greedy, env_seed=args.env_seed)
+                        greedy=args.greedy, env_seed=args.env_seed,
+                        search=args.search)
 
 
 def cmd_export_demo(args) -> None:
@@ -233,6 +234,9 @@ def main(argv=None) -> None:
                         help="Seed of the fixed eval env stream")
     p_eval.add_argument("--platform", default=None,
                         help="Force a JAX platform (cpu/tpu)")
+    p_eval.add_argument("--search", action="store_true",
+                        help="Expectimax action selection (1-ply exact chance "
+                             "nodes, critic leaves) instead of the raw policy")
     p_eval.set_defaults(fn=cmd_evaluate)
 
     p_exp = sub.add_parser("export-demo", help="Export demo assets for the web UI")

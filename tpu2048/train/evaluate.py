@@ -88,13 +88,71 @@ def run_eval(params, model_cfg, model_type, games: int, seed: int = 0,
     )
 
 
+def load_search_coefs(path) -> tuple[float, float]:
+    """(points_coef, value_coef) for expectimax eval, from the train-state
+    checkpoint's RTG moments when available (value_coef = gamma * sigma
+    denormalizes the critic up to an action-independent constant; see
+    algo/search.py). Falls back to pure-EV search (0, 1) for params-only
+    checkpoints, where the critic's scale is unknown."""
+    p = Path(path)
+    try:
+        with open(p / "train_state.json") as f:
+            manifest = json.load(f)
+        import numpy as _np
+
+        data = _np.load(p / "train_state.npz")
+        mu = float(data["['moments'].mu"])
+        m2 = float(data["['moments'].m2"])
+        cfg = manifest.get("config", {}) or {}
+        beta = float(cfg.get("rtg_beta", 0.99))
+        step = int(manifest.get("train_step", 0))
+        corr = max(1.0 - beta ** max(step, 1), 1e-8)
+        sigma = float(np.sqrt(max(m2 / corr - (mu / corr) ** 2, 1e-12)))
+        gamma = float(cfg.get("gamma", 0.99))
+        return float(cfg.get("points_weight", 0.1)), gamma * sigma
+    except Exception:
+        return 0.0, 1.0
+
+
+def run_search_eval(params, model_cfg, model_type, games: int,
+                    max_steps: int = 4096, env_seed: int = 12345,
+                    points_coef: float = 0.0, value_coef: float = 1.0) -> dict:
+    """Expectimax (1-ply exact chance nodes, critic leaves) evaluation —
+    deterministic given the env stream."""
+    from ..algo import search as SRCH
+
+    apply_eval = _apply_fn(model_cfg, model_type)
+    pts, final, _ = SRCH.search_rollout(
+        apply_eval, params, games, max_steps, jax.random.key(env_seed),
+        points_coef=points_coef, value_coef=value_coef)
+    scores = np.asarray(pts)
+    tiles = np.asarray(engine.max_tile_value(final.astype(jnp.int32)))
+    return dict(
+        max_score=int(scores.max()),
+        avg_score=float(scores.mean()),
+        median_score=float(np.sort(scores)[len(scores) // 2]),
+        pct_512=float((tiles >= 512).mean() * 100),
+        pct_1024=float((tiles >= 1024).mean() * 100),
+        pct_2048=float((tiles >= 2048).mean() * 100),
+        scores=scores.tolist(),
+    )
+
+
 def evaluate_checkpoint(path, games: int = 100, seed: int = 0,
-                        greedy: bool = False, env_seed: int = 12345) -> dict:
+                        greedy: bool = False, env_seed: int = 12345,
+                        search: bool = False) -> dict:
     params, mc, mt = load_model_checkpoint(path)
     print(f"Evaluating model from: {path}")
     print(f"Running {games} evaluation games...")
-    m = run_eval(params, mc, mt, games, seed=seed, greedy=greedy,
-                 env_seed=env_seed)
+    if search:
+        pc, vc = load_search_coefs(path)
+        print(f"Expectimax search eval (points_coef={pc:.3g}, "
+              f"value_coef={vc:.3g})")
+        m = run_search_eval(params, mc, mt, games, env_seed=env_seed,
+                            points_coef=pc, value_coef=vc)
+    else:
+        m = run_eval(params, mc, mt, games, seed=seed, greedy=greedy,
+                     env_seed=env_seed)
     print(f"Eval Results - Max: {m['max_score']}, Avg: {m['avg_score']:.1f}, "
           f"Median: {m['median_score']:.0f}")
     print(f"Tiles Reached - 512: {m['pct_512']:.1f}%, 1024: {m['pct_1024']:.1f}%, "
