@@ -78,3 +78,51 @@ def test_search_rollout_completes(model):
     # Deterministic given the env stream.
     pts2, _, _ = SRCH.search_rollout(apply_fn, params, 8, 300, jax.random.key(3))
     np.testing.assert_array_equal(pts, np.asarray(pts2))
+
+
+def _brute_force_depth2(apply_fn, params, board, points_coef, value_coef):
+    """Exact 2-ply expectimax with plain Python loops: each spawn child is
+    valued by its own best 1-ply score (0 if terminal)."""
+    moves = engine.all_moves(board[None])
+    out = np.full(4, -np.inf)
+    for d in range(4):
+        if not bool(moves.legal[d, 0]):
+            continue
+        merged = np.asarray(moves.boards[d, 0])
+        empties = [(r, c) for r in range(4) for c in range(4)
+                   if merged[r, c] == 0]
+        ev = 0.0
+        for (r, c) in empties:
+            for exp, pr in ((1, 0.9), (2, 0.1)):
+                child = merged.copy()
+                child[r, c] = exp
+                child_j = jnp.asarray(child, jnp.int32)
+                child_moves = engine.all_moves(child_j[None])
+                if not bool(child_moves.any_legal[0]):
+                    v = 0.0  # terminal: game over, zero future return
+                else:
+                    v = float(np.max(_brute_force_scores(
+                        apply_fn, params, child_j, points_coef, value_coef)))
+                ev += pr / len(empties) * v
+        out[d] = points_coef * float(moves.scores[d, 0]) + value_coef * ev
+    return out
+
+
+def test_expectimax_depth2_matches_brute_force(model):
+    params, apply_fn = model
+    rng = np.random.default_rng(7)
+    boards = jnp.asarray(rng.integers(0, 6, (3, 4, 4)), jnp.int32)
+    got = np.asarray(
+        SRCH.expectimax_scores(apply_fn, params, boards,
+                               points_coef=0.1, value_coef=2.5, depth=2))
+    for i in range(boards.shape[0]):
+        want = _brute_force_depth2(apply_fn, params, boards[i], 0.1, 2.5)
+        np.testing.assert_allclose(got[i], want, rtol=1e-4, atol=1e-5)
+
+
+def test_search_rollout_depth2_completes(model):
+    params, apply_fn = model
+    pts, final, nm = SRCH.search_rollout(
+        apply_fn, params, 4, 60, jax.random.key(3), depth=2)
+    pts, nm = np.asarray(pts), np.asarray(nm)
+    assert (pts >= 0).all() and (nm > 0).all()

@@ -35,12 +35,20 @@ NUM_SPAWNS = 2 * NUM_CELLS  # 16 cells x {exp 1 (p=.9), exp 2 (p=.1)}
 def expectimax_scores(apply_fn, params, boards: jnp.ndarray,
                       moves: engine.MoveSet | None = None,
                       points_coef: float = 0.1,
-                      value_coef: float = 1.0) -> jnp.ndarray:
+                      value_coef: float = 1.0,
+                      depth: int = 1) -> jnp.ndarray:
     """(B, 4) action scores; illegal actions are -inf.
 
     ``apply_fn(params, x(B,48)) -> (logits, value)`` — only the value head is
     consumed. Exact chance-node expectation: every legal 2048 move leaves at
     least one empty cell, so the spawn distribution is always well-defined.
+
+    ``depth`` is the number of max-node plies. depth=1 evaluates every spawn
+    child with the critic; depth=2 values every spawn child by ITS best 1-ply
+    expectimax score (exact 2-ply tree, 4x32x4x32 leaves per board), with
+    terminal children correctly valued 0 (game over ends the return). The
+    chance dimension is evaluated with a sequential ``lax.map`` over the 32
+    spawn slots so peak memory stays at one 1-ply problem of size 4B.
     """
     if moves is None:
         moves = engine.all_moves(boards)
@@ -62,9 +70,20 @@ def expectimax_scores(apply_fn, params, boards: jnp.ndarray,
         0.0,
     )  # (4, B, 16, 2) sums to 1 over (cells, exps) for each (dir, board)
 
-    child_boards = cand.reshape(D * B * NUM_SPAWNS, 4, 4)
-    _, values = apply_fn(params, encode_boards(child_boards))
-    values = values.reshape(D, B, NUM_CELLS, 2)
+    if depth <= 1:
+        child_boards = cand.reshape(D * B * NUM_SPAWNS, 4, 4)
+        _, values = apply_fn(params, encode_boards(child_boards))
+        values = values.reshape(D, B, NUM_CELLS, 2)
+    else:
+        # (D, B, 16, 2, 16) -> (32 spawn slots, D*B, 4, 4): one sequential
+        # sweep over the chance dimension, each slot a batched (depth-1)
+        # subproblem over all D*B children at once.
+        child = jnp.moveaxis(cand.reshape(D * B, NUM_SPAWNS, 4, 4), 1, 0)
+        values = jax.lax.map(
+            lambda bs: best_scores(apply_fn, params, bs, points_coef,
+                                   value_coef, depth - 1),
+            child)  # (32, D*B)
+        values = values.T.reshape(D, B, NUM_CELLS, 2)
     ev = jnp.sum(values * weights, axis=(-2, -1))  # (4, B)
 
     score = points_coef * moves.scores.astype(jnp.float32) + value_coef * ev
@@ -72,10 +91,22 @@ def expectimax_scores(apply_fn, params, boards: jnp.ndarray,
     return jnp.moveaxis(score, 0, -1)  # (B, 4)
 
 
-@partial(jax.jit, static_argnames=("apply_fn", "num_envs", "max_steps"))
+def best_scores(apply_fn, params, boards: jnp.ndarray,
+                points_coef: float = 0.1, value_coef: float = 1.0,
+                depth: int = 1) -> jnp.ndarray:
+    """(B,) best expectimax score over legal actions; 0 for terminal boards
+    (no legal action => the game is over, so the future return is exactly 0)."""
+    moves = engine.all_moves(boards)
+    s = expectimax_scores(apply_fn, params, boards, moves, points_coef,
+                          value_coef, depth)
+    return jnp.where(moves.any_legal, jnp.max(s, axis=-1), 0.0)
+
+
+@partial(jax.jit,
+         static_argnames=("apply_fn", "num_envs", "max_steps", "depth"))
 def search_rollout(apply_fn, params, num_envs: int, max_steps: int,
                    env_key: jax.Array, points_coef: float = 0.1,
-                   value_coef: float = 1.0):
+                   value_coef: float = 1.0, depth: int = 1):
     """Play ``num_envs`` games to completion with expectimax action selection
     (deterministic given the env stream). Returns (total_points (N,),
     final_boards (N,4,4), num_moves (N,))."""
@@ -90,7 +121,7 @@ def search_rollout(apply_fn, params, num_envs: int, max_steps: int,
         key, k_spawn = jax.random.split(key)
         moves = engine.all_moves(boards)
         scores = expectimax_scores(apply_fn, params, boards, moves,
-                                   points_coef, value_coef)
+                                   points_coef, value_coef, depth)
         action = jnp.argmax(scores, axis=-1)
         res = engine.step(boards, action, k_spawn, moves=moves)
         alive = c["alive"] & moves.any_legal

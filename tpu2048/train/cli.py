@@ -136,7 +136,7 @@ def cmd_evaluate(args) -> None:
 
     evaluate_checkpoint(args.model_path, games=args.games, seed=args.seed,
                         greedy=args.greedy, env_seed=args.env_seed,
-                        search=args.search)
+                        search=args.search, search_depth=args.search_depth)
 
 
 def cmd_export_demo(args) -> None:
@@ -235,8 +235,12 @@ def main(argv=None) -> None:
     p_eval.add_argument("--platform", default=None,
                         help="Force a JAX platform (cpu/tpu)")
     p_eval.add_argument("--search", action="store_true",
-                        help="Expectimax action selection (1-ply exact chance "
+                        help="Expectimax action selection (exact chance "
                              "nodes, critic leaves) instead of the raw policy")
+    p_eval.add_argument("--search-depth", dest="search_depth", type=int,
+                        default=1, choices=(1, 2),
+                        help="Max-node plies for --search (2 = exact 2-ply "
+                             "tree, 4x32x4x32 leaves per board)")
     p_eval.set_defaults(fn=cmd_evaluate)
 
     p_exp = sub.add_parser("export-demo", help="Export demo assets for the web UI")

@@ -116,15 +116,16 @@ def load_search_coefs(path) -> tuple[float, float]:
 
 def run_search_eval(params, model_cfg, model_type, games: int,
                     max_steps: int = 4096, env_seed: int = 12345,
-                    points_coef: float = 0.0, value_coef: float = 1.0) -> dict:
-    """Expectimax (1-ply exact chance nodes, critic leaves) evaluation —
+                    points_coef: float = 0.0, value_coef: float = 1.0,
+                    depth: int = 1) -> dict:
+    """Expectimax (exact chance nodes, critic leaves) evaluation —
     deterministic given the env stream."""
     from ..algo import search as SRCH
 
     apply_eval = _apply_fn(model_cfg, model_type)
     pts, final, _ = SRCH.search_rollout(
         apply_eval, params, games, max_steps, jax.random.key(env_seed),
-        points_coef=points_coef, value_coef=value_coef)
+        points_coef=points_coef, value_coef=value_coef, depth=depth)
     scores = np.asarray(pts)
     tiles = np.asarray(engine.max_tile_value(final.astype(jnp.int32)))
     return dict(
@@ -140,16 +141,17 @@ def run_search_eval(params, model_cfg, model_type, games: int,
 
 def evaluate_checkpoint(path, games: int = 100, seed: int = 0,
                         greedy: bool = False, env_seed: int = 12345,
-                        search: bool = False) -> dict:
+                        search: bool = False, search_depth: int = 1) -> dict:
     params, mc, mt = load_model_checkpoint(path)
     print(f"Evaluating model from: {path}")
     print(f"Running {games} evaluation games...")
     if search:
         pc, vc = load_search_coefs(path)
-        print(f"Expectimax search eval (points_coef={pc:.3g}, "
-              f"value_coef={vc:.3g})")
+        print(f"Expectimax search eval (depth={search_depth}, "
+              f"points_coef={pc:.3g}, value_coef={vc:.3g})")
         m = run_search_eval(params, mc, mt, games, env_seed=env_seed,
-                            points_coef=pc, value_coef=vc)
+                            points_coef=pc, value_coef=vc,
+                            depth=search_depth)
     else:
         m = run_eval(params, mc, mt, games, seed=seed, greedy=greedy,
                      env_seed=env_seed)
