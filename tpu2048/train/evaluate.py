@@ -162,6 +162,80 @@ def evaluate_checkpoint(path, games: int = 100, seed: int = 0,
     return m
 
 
+def search_play_best(params, model_cfg, model_type, num_games: int = 64,
+                     env_seed: int = 12345, points_coef: float = 0.0,
+                     value_coef: float = 1.0, depth: int = 1,
+                     max_steps: int = 4096) -> dict:
+    """Play ``num_games`` in lockstep with expectimax action selection and
+    return the best episode as the host dict the demo exporter consumes.
+
+    Unlike ``search_rollout`` (fused while_loop, no recording), this drives
+    one jitted move at a time from the host so every transition can be
+    recorded; the RNG structure mirrors search_rollout's exactly (same
+    split order, dead boards frozen), so scores reproduce it move for move.
+    Entropy is 0 by convention — search play is deterministic.
+    """
+    from ..algo import search as SRCH
+
+    apply_eval = _apply_fn(model_cfg, model_type)
+
+    @jax.jit
+    def one_move(p, boards, key, alive):
+        key, k_spawn = jax.random.split(key)
+        moves = engine.all_moves(boards)
+        s = SRCH.expectimax_scores(apply_eval, p, boards, moves,
+                                   points_coef, value_coef, depth)
+        action = jnp.argmax(s, axis=-1)
+        res = engine.step(boards, action, k_spawn, moves=moves)
+        step_alive = alive & moves.any_legal
+        new_boards = jnp.where(step_alive[:, None, None], res.board, boards)
+        reward = jnp.where(step_alive, res.reward, 0)
+        return (key, action, new_boards, reward, step_alive,
+                step_alive & ~res.done)
+
+    k_reset, key = jax.random.split(jax.random.key(env_seed))
+    boards = engine.reset(k_reset, (num_games,))
+    alive = jnp.ones((num_games,), jnp.bool_)
+    points = np.zeros(num_games, np.int64)
+    nmoves = np.zeros(num_games, np.int32)
+    recs = []
+    for _ in range(max_steps):
+        key, action, new_boards, reward, step_alive, alive = one_move(
+            params, boards, key, alive)
+        sa = np.asarray(step_alive)
+        if not sa.any():
+            break
+        recs.append((np.asarray(boards), np.asarray(action),
+                     np.asarray(new_boards), np.asarray(reward), sa))
+        points += np.where(sa, np.asarray(reward), 0)
+        nmoves += sa
+        boards = new_boards
+
+    best = int(points.argmax())
+    tiles = np.asarray(engine.max_tile_value(boards.astype(jnp.int32)))
+    print(f"Search-played {num_games} games (depth={depth}) — "
+          f"avg: {points.mean():.0f}, best: {points[best]}, "
+          f"max tile: {int(tiles.max())}")
+    moves = [
+        {
+            "selected_direction": int(a[best]),
+            "state_before": b[best].astype(int).tolist(),
+            "result_state": nb[best].astype(int).tolist(),
+            "points_earned": int(r[best]),
+            "entropy": 0.0,
+        }
+        for (b, a, nb, r, sa) in recs if sa[best]
+    ]
+    return {
+        "moves": moves,
+        "total_points": int(points[best]),
+        # Reference quirk: total_steps == len(moves) - 1 for naturally
+        # ended games (train.py:335-343).
+        "total_steps": max(int(nmoves[best]) - 1, 0),
+        "final_state": np.asarray(boards[best]).astype(int).tolist(),
+    }
+
+
 def play_best_of(params, model_cfg, model_type, num_games: int = 10,
                  seed: int = 0, max_steps: int = 4096) -> dict:
     """Play a batch and return the best episode as a host dict (for demo
