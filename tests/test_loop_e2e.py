@@ -112,3 +112,25 @@ def test_dryrun_multichip():
     import __graft_entry__ as g
 
     g.dryrun_multichip(8)
+
+
+def test_search_eval_and_coefs(run_result):
+    """--search eval path: coefs load from the train-state moments
+    (value_coef = gamma * sigma), and search eval runs end to end."""
+    tmp, cfg, out = run_result
+    from tpu2048.train.evaluate import evaluate_checkpoint, load_search_coefs
+
+    pc, vc = load_search_coefs(str(tmp / "ckpt"))
+    assert pc == cfg.points_weight and vc > 0  # moments present => real coefs
+    # Params-only directory falls back to pure-EV (0, 1).
+    import shutil
+
+    only = tmp / "params_only"
+    only.mkdir(exist_ok=True)
+    for f in ("best_model.npz", "best_model.json"):
+        shutil.copy(tmp / "ckpt" / f, only / f)
+    assert load_search_coefs(str(only)) == (0.0, 1.0)
+
+    m = evaluate_checkpoint(str(tmp / "ckpt"), games=4, search=True,
+                            search_depth=2)
+    assert m["avg_score"] > 0 and len(m["scores"]) == 4
