@@ -80,3 +80,26 @@ def test_http_endpoints(ckpt_dir):
     except urllib.error.HTTPError as e:
         assert e.code == 400
     srv.shutdown()
+
+
+def test_search_mode(ckpt_dir):
+    """"search": N selects by expectimax and reports per-action scores
+    (null for illegal actions; legality still in "legal")."""
+    from tpu2048.serve import PolicyService
+
+    svc = PolicyService(str(ckpt_dir))
+    board = [[1, 0, 0, 0], [0, 2, 0, 0], [0, 0, 0, 0], [0, 0, 0, 1]]
+    legal = oracle.legal_directions(board)
+    for depth in (1, 2):
+        out = svc.predict(np.asarray(board), search=depth)
+        assert out["action"] in legal
+        scores = out["search_scores"]
+        assert len(scores) == 4
+        for d in range(4):
+            assert (scores[d] is None) == (d not in legal)
+        finite = {d: s for d, s in enumerate(scores) if s is not None}
+        assert out["action"] == max(finite, key=finite.get)
+    # Deterministic.
+    a1 = svc.predict(np.asarray(board), search=1)["action"]
+    a2 = svc.predict(np.asarray(board), search=1)["action"]
+    assert a1 == a2

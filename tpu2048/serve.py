@@ -4,11 +4,18 @@ A minimal production-style serving endpoint for trained checkpoints (the
 reference's only serving story is the static browser demo; this serves the
 JAX model directly, batched, from a checkpoint):
 
-  POST /predict   {"board": [[...4x4 exponents...]], "greedy": false}
+  POST /predict   {"board": [[...4x4 exponents...]], "greedy": false,
+                   "search": 0}
       -> {"action": 0..3, "direction": "UP", "probs": [...4], "value": v,
           "legal": [bool x4]}
   POST /predict_batch {"boards": [[[...]], ...]} -> {"actions": [...], ...}
   GET  /healthz   -> {"status": "ok", "model": {...}}
+
+``"search": 1`` or ``2`` selects the move by expectimax search of that depth
+(algo/search.py; exact chance nodes, critic leaves) instead of the raw
+policy — the response carries the per-action ``search_scores`` alongside the
+policy's probs/value. Search coefficients come from the checkpoint's RTG
+moments when present (pure-EV fallback otherwise, like evaluate --search).
 
 Usage: python -m tpu2048.serve --checkpoint checkpoints [--port 8787]
 """
@@ -53,17 +60,39 @@ class PolicyService:
         self._fwd = fwd
         self._rng = np.random.default_rng(0)
 
+        from .train.evaluate import load_search_coefs
+
+        self._apply = apply_eval
+        self._search_coefs = load_search_coefs(checkpoint_path)
+        self._search_fns = {}  # depth -> jitted scorer
+
+    def _search_scores(self, boards: jnp.ndarray, depth: int) -> np.ndarray:
+        if depth not in self._search_fns:
+            from .algo import search as SRCH
+
+            pc, vc = self._search_coefs
+            self._search_fns[depth] = jax.jit(
+                lambda p, b: SRCH.expectimax_scores(
+                    self._apply, p, b, None, pc, vc, depth))
+        return np.asarray(self._search_fns[depth](self.params, boards))
+
     def info(self) -> dict:
         return {"model_type": self.model_type, "config": self.model_cfg.to_dict()}
 
-    def predict(self, boards: np.ndarray, greedy: bool = False) -> dict:
+    def predict(self, boards: np.ndarray, greedy: bool = False,
+                search: int = 0) -> dict:
         boards = np.asarray(boards, np.int32)
         squeeze = boards.ndim == 2
         if squeeze:
             boards = boards[None]
         probs, value, legal = self._fwd(self.params, jnp.asarray(boards))
         probs, value, legal = map(np.asarray, (probs, value, legal))
-        if greedy:
+        search_scores = None
+        if search:
+            depth = max(1, min(int(search), 2))
+            search_scores = self._search_scores(jnp.asarray(boards), depth)
+            actions = search_scores.argmax(-1)
+        elif greedy:
             actions = probs.argmax(-1)
         else:
             cum = probs.cumsum(-1)
@@ -77,6 +106,10 @@ class PolicyService:
             "values": value.tolist(),
             "legal": legal.tolist(),
         }
+        if search_scores is not None:
+            # -inf (illegal) is not JSON; clients read legality from "legal".
+            out["search_scores"] = np.where(
+                np.isfinite(search_scores), search_scores, None).tolist()
         if squeeze:
             out = {
                 "action": out["actions"][0],
@@ -84,6 +117,8 @@ class PolicyService:
                 "probs": out["probs"][0],
                 "value": out["values"][0],
                 "legal": out["legal"][0],
+                **({"search_scores": out["search_scores"][0]}
+                   if search_scores is not None else {}),
             }
         return out
 
@@ -110,11 +145,13 @@ def make_handler(service: PolicyService):
                 payload = json.loads(self.rfile.read(n) or b"{}")
                 if self.path == "/predict":
                     board = payload["board"]
-                    self._json(service.predict(board, payload.get("greedy", False)))
+                    self._json(service.predict(board, payload.get("greedy", False),
+                                               payload.get("search", 0)))
                 elif self.path == "/predict_batch":
                     boards = payload["boards"]
                     self._json(service.predict(np.asarray(boards),
-                                               payload.get("greedy", False)))
+                                               payload.get("greedy", False),
+                                               payload.get("search", 0)))
                 else:
                     self._json({"error": "not found"}, 404)
             except (KeyError, ValueError, TypeError) as e:
@@ -133,7 +170,11 @@ def main() -> None:
     ap.add_argument("--host", default="127.0.0.1",
                     help="Bind address (default loopback; pass 0.0.0.0 to "
                          "expose on all interfaces — there is no auth)")
+    ap.add_argument("--platform", default=None,
+                    help="Force a JAX platform (cpu/tpu)")
     args = ap.parse_args()
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
     service = PolicyService(args.checkpoint)
     server = ThreadingHTTPServer((args.host, args.port), make_handler(service))
     print(f"Serving {service.info()} on http://{args.host}:{args.port}")
