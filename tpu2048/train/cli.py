@@ -175,7 +175,10 @@ def cmd_export_demo(args) -> None:
     else:
         best = play_best_of(params, model_cfg, model_type,
                             num_games=args.num_games, seed=args.seed)
-    export_demo_assets(params, model_cfg, model_type, best, args.output_dir)
+    from .evaluate import load_search_coefs as _lsc
+
+    export_demo_assets(params, model_cfg, model_type, best, args.output_dir,
+                       search_coefs=_lsc(args.model_path))
     # Copy the raw checkpoint next to the demo assets (the reference copies
     # best_model.pt into docs/data, train.py:2064-2069).
     import shutil

@@ -16,7 +16,7 @@ from ..utils.onnx_writer import export_mlp, export_urm
 
 
 def export_demo_assets(params, model_cfg, model_type: str, best_episode,
-                       output_dir) -> None:
+                       output_dir, search_coefs=None) -> None:
     out = Path(output_dir)
     out.mkdir(parents=True, exist_ok=True)
 
@@ -31,6 +31,11 @@ def export_demo_assets(params, model_cfg, model_type: str, best_episode,
     print(f"Model exported to {out / 'model.onnx'}")
 
     cfg_dict = dict(model_cfg.to_dict(), model_type=model_type.lower())
+    if search_coefs is not None:
+        # Consumed by the demo's in-browser expectimax (web/js/model.js):
+        # score = points * merge_points + value * E[V(child)].
+        cfg_dict["search_coefs"] = {"points": search_coefs[0],
+                                    "value": search_coefs[1]}
     with open(out / "model_config.json", "w") as f:
         json.dump(cfg_dict, f, indent=2)
 

@@ -643,8 +643,11 @@ def train(cfg: TrainConfig) -> dict:
         from . import export as EXP
 
         logger.print("\nExporting demo assets to web/data/ ...")
+        from .evaluate import load_search_coefs
+
         EXP.export_demo_assets(params, model_cfg, cfg.model_type,
-                               best_game_episode, "web/data")
+                               best_game_episode, "web/data",
+                               search_coefs=load_search_coefs(cfg.checkpoint_dir))
     logger.close()
     return dict(params=params, moments=moments, highest_score=highest_score,
                 best_game_episode=best_game_episode, emas=emas,

@@ -124,11 +124,16 @@ class Game2048 {
   /** 48-dim model input: per cell (exponent, row/3, col/3), row-major —
    *  the encoding from tpu2048/models/encoding.py. */
   toModelFormat() {
+    return Game2048.modelFormatOf(this.grid);
+  }
+
+  /** 48-dim interleaved (exponent, r/3, c/3) encoding of any grid. */
+  static modelFormatOf(grid) {
     const out = new Float32Array(48);
     let k = 0;
     for (let r = 0; r < GRID_SIZE; r++)
       for (let c = 0; c < GRID_SIZE; c++) {
-        out[k++] = this.grid[r][c];
+        out[k++] = grid[r][c];
         out[k++] = r / 3;
         out[k++] = c / 3;
       }

@@ -25,6 +25,8 @@ class UIController {
     this.playing = false;
     this.timer = null;
     this.speedIdx = 2;
+    this.searchMode = false;
+    this.searchCoefs = { points: 0, value: 1 };
     this.bind();
     this.loadAssets();
   }
@@ -54,6 +56,8 @@ class UIController {
       this.replayIdx = +e.target.value;
       this.renderReplay();
     };
+    const st = this.$("search-toggle");
+    if (st) st.onchange = (e) => { this.searchMode = e.target.checked; };
   }
 
   async loadAssets() {
@@ -77,6 +81,10 @@ class UIController {
     } catch (e) {
       this.setStatus("model unavailable — live mode disabled");
     }
+    try {
+      const cfg = await (await fetch("data/model_config.json")).json();
+      if (cfg.search_coefs) this.searchCoefs = cfg.search_coefs;
+    } catch (e) { /* keep pure-EV fallback */ }
     this.setMode("replay");
   }
 
@@ -139,7 +147,9 @@ class UIController {
   async showHint() {
     // Model's opinion of the CURRENT position (post-move), as a teaching aid.
     if (!this.model || !this.game.hasNextStep()) return;
-    const pick = await this.model.selectMove(this.game, { greedy: true });
+    const pick = this.searchMode
+      ? await expectimaxMove(this.model, this.game, this.searchCoefs)
+      : await this.model.selectMove(this.game, { greedy: true });
     if (pick) this.renderProbs(pick.probs);
   }
 
@@ -165,7 +175,9 @@ class UIController {
       return true;
     }
     if (!this.model || !this.game || !this.game.hasNextStep()) return false;
-    const pick = await this.model.selectMove(this.game);
+    const pick = this.searchMode
+      ? await expectimaxMove(this.model, this.game, this.searchCoefs)
+      : await this.model.selectMove(this.game);
     if (!pick) return false;
     this.game.move(pick.action);
     this.renderLive(pick);
