@@ -204,7 +204,8 @@ def cmd_human(args) -> None:
 def cmd_play(args) -> None:
     from .play_cli import watch_agent
 
-    watch_agent(model_path=args.model_path, delay=args.delay, seed=args.seed)
+    watch_agent(model_path=args.model_path, delay=args.delay, seed=args.seed,
+                search=args.search)
 
 
 def cmd_bench(args) -> None:
@@ -282,6 +283,9 @@ def main(argv=None) -> None:
     p_play.add_argument("--model", "-m", dest="model_path", default=None)
     p_play.add_argument("--delay", "-d", type=float, default=0.5)
     p_play.add_argument("--seed", type=int, default=0)
+    p_play.add_argument("--search", type=int, default=0, choices=(0, 1, 2),
+                        help="Expectimax move selection of this depth "
+                             "(0 = sample the policy)")
     p_play.set_defaults(fn=cmd_play)
 
     p_bench = sub.add_parser("bench", help="Run the throughput benchmark")

@@ -97,10 +97,14 @@ def human_play() -> None:
     print("=" * 40)
 
 
-def watch_agent(model_path=None, delay: float = 0.5, seed: int = 0) -> None:
+def watch_agent(model_path=None, delay: float = 0.5, seed: int = 0,
+                search: int = 0) -> None:
     """Watch an agent play one game, with per-move best-available comparison
     and an EMA step-reward tracker (reference play command, train.py:2184-2297).
-    Unlike the reference (which refuses model loading), --model works here."""
+    Unlike the reference (which refuses model loading), --model works here.
+    ``search`` > 0 selects moves by expectimax of that depth instead of
+    sampling the policy (requires --model with a train-state checkpoint for
+    calibrated coefficients; params-only falls back to pure EV)."""
     import jax
     import jax.numpy as jnp
     from ..models import MLPConfig, mlp
@@ -119,6 +123,20 @@ def watch_agent(model_path=None, delay: float = 0.5, seed: int = 0) -> None:
         apply_eval = lambda p, x: mlp.apply(p, mc, x)
 
     forward = jax.jit(apply_eval)
+    search_fn = None
+    if search:
+        from ..algo import search as SRCH
+
+        pc, vc = (0.0, 1.0)
+        if model_path:
+            from .evaluate import load_search_coefs
+
+            pc, vc = load_search_coefs(model_path)
+        depth = max(1, min(int(search), 2))
+        print(f"Expectimax move selection (depth={depth}, "
+              f"points_coef={pc:.3g}, value_coef={vc:.3g})")
+        search_fn = jax.jit(lambda p, b: SRCH.expectimax_scores(
+            apply_eval, p, b, None, pc, vc, depth))
     rng = np.random.default_rng(seed)
     grid = oracle.reset()
 
@@ -138,10 +156,15 @@ def watch_agent(model_path=None, delay: float = 0.5, seed: int = 0) -> None:
         logits, _ = forward(params, enc)
         logits = np.asarray(logits)[0]
         legal = oracle.legal_directions(grid)
-        masked = np.where([d in legal for d in range(4)], logits, -np.inf)
-        probs = np.exp(masked - masked.max())
-        probs /= probs.sum()
-        action = int(rng.choice(4, p=probs))
+        if search_fn is not None:
+            scores = np.asarray(
+                search_fn(params, jnp.asarray(grid, jnp.int32)[None]))[0]
+            action = int(np.argmax(scores))
+        else:
+            masked = np.where([d in legal for d in range(4)], logits, -np.inf)
+            probs = np.exp(masked - masked.max())
+            probs /= probs.sum()
+            action = int(rng.choice(4, p=probs))
 
         grid, points, done, _ = oracle.step(grid, action)
         moves += 1
