@@ -116,20 +116,24 @@ def test_dryrun_multichip():
 
 def test_search_eval_and_coefs(run_result):
     """--search eval path: coefs load from the train-state moments
-    (value_coef = gamma * sigma), and search eval runs end to end."""
+    (sigma/mu denormalize the critic; reward weights + gamma from the
+    config), and search eval runs end to end."""
     tmp, cfg, out = run_result
+    from tpu2048.algo.search import SearchCoefs
     from tpu2048.train.evaluate import evaluate_checkpoint, load_search_coefs
 
-    pc, vc = load_search_coefs(str(tmp / "ckpt"))
-    assert pc == cfg.points_weight and vc > 0  # moments present => real coefs
-    # Params-only directory falls back to pure-EV (0, 1).
+    c = load_search_coefs(str(tmp / "ckpt"))
+    assert c.points == cfg.points_weight  # moments present => real coefs
+    assert c.mono == cfg.monotonicity_weight and c.gamma == cfg.gamma
+    assert c.sigma > 0
+    # Params-only directory falls back to pure normalized-EV search.
     import shutil
 
     only = tmp / "params_only"
     only.mkdir(exist_ok=True)
     for f in ("best_model.npz", "best_model.json"):
         shutil.copy(tmp / "ckpt" / f, only / f)
-    assert load_search_coefs(str(only)) == (0.0, 1.0)
+    assert load_search_coefs(str(only)) == SearchCoefs()
 
     m = evaluate_checkpoint(str(tmp / "ckpt"), games=4, search=True,
                             search_depth=2)

@@ -1,6 +1,7 @@
-"""Expectimax search eval (algo/search.py): exactness of the chance-node
-expectation vs brute force, legality masking, and the end-to-end search
-rollout."""
+"""Expectimax search eval (algo/search.py): exactness of the shaped Bellman
+backup vs plain-Python brute force (chance-node expectation, terminal-child
+zeroing, PBRS after-potential, critic denormalization, depth-2 recursion),
+legality masking, and the end-to-end search rollout."""
 
 import numpy as np
 import jax
@@ -8,8 +9,14 @@ import jax.numpy as jnp
 import pytest
 
 from tpu2048.algo import search as SRCH
-from tpu2048.env import engine
+from tpu2048.algo.search import SearchCoefs
+from tpu2048.env import engine, heuristics as H
 from tpu2048.models import MLPConfig, mlp
+from tpu2048.models.encoding import encode_boards
+
+# Nontrivial coefficients so every term of the backup is exercised.
+COEFS = SearchCoefs(points=0.1, mono=0.7, empt=0.3, sigma=2.5, mu=-0.4,
+                    gamma=0.97)
 
 
 @pytest.fixture(scope="module")
@@ -19,16 +26,28 @@ def model():
     return params, (lambda p, x: mlp.apply(p, cfg, x))
 
 
-def _brute_force_scores(apply_fn, params, board, points_coef, value_coef):
-    """Reference enumeration with plain Python loops."""
-    from tpu2048.models.encoding import encode_boards
+def _phi(board, coefs):
+    b = jnp.asarray(board, jnp.int32)[None]
+    return (coefs.mono * float(H.monotonicity(b)[0])
+            + coefs.empt * float(H.emptiness(b)[0]))
 
-    moves = engine.all_moves(board[None])
+
+def _alive(board):
+    return bool(engine.all_moves(jnp.asarray(board, jnp.int32)[None])
+                .any_legal[0])
+
+
+def _brute_force_scores(apply_fn, params, board, coefs):
+    """Reference enumeration with plain Python loops:
+    score(a) = points*pts + gamma*E_spawn[alive * (phi(merged) + sigma*V+mu)].
+    """
+    moves = engine.all_moves(jnp.asarray(board, jnp.int32)[None])
     out = np.full(4, -np.inf)
     for d in range(4):
         if not bool(moves.legal[d, 0]):
             continue
         merged = np.asarray(moves.boards[d, 0])
+        phi_m = _phi(merged, coefs)
         empties = [(r, c) for r in range(4) for c in range(4)
                    if merged[r, c] == 0]
         ev = 0.0
@@ -36,9 +55,14 @@ def _brute_force_scores(apply_fn, params, board, points_coef, value_coef):
             for exp, pr in ((1, 0.9), (2, 0.1)):
                 child = merged.copy()
                 child[r, c] = exp
-                _, v = apply_fn(params, encode_boards(jnp.asarray(child)[None]))
-                ev += pr / len(empties) * float(v[0, 0])
-        out[d] = points_coef * float(moves.scores[d, 0]) + value_coef * ev
+                if _alive(child):
+                    _, v = apply_fn(params,
+                                    encode_boards(jnp.asarray(child)[None]))
+                    contrib = phi_m + coefs.sigma * float(v[0, 0]) + coefs.mu
+                else:
+                    contrib = 0.0  # game over: reward shaping + return vanish
+                ev += pr / len(empties) * contrib
+        out[d] = coefs.points * float(moves.scores[d, 0]) + coefs.gamma * ev
     return out
 
 
@@ -47,11 +71,38 @@ def test_expectimax_matches_brute_force(model):
     rng = np.random.default_rng(0)
     boards = jnp.asarray(rng.integers(0, 6, (5, 4, 4)), jnp.int32)
     got = np.asarray(
-        SRCH.expectimax_scores(apply_fn, params, boards,
-                               points_coef=0.1, value_coef=2.5))
+        SRCH.expectimax_scores(apply_fn, params, boards, coefs=COEFS))
     for i in range(boards.shape[0]):
-        want = _brute_force_scores(apply_fn, params, boards[i], 0.1, 2.5)
+        want = _brute_force_scores(apply_fn, params, boards[i], COEFS)
         np.testing.assert_allclose(got[i], want, rtol=1e-4, atol=1e-5)
+
+
+def test_terminal_children_valued_zero(model):
+    """A nearly-full checkerboard where some spawns end the game: the dead
+    children must contribute 0, not critic extrapolation."""
+    params, apply_fn = model
+    board = jnp.asarray([[[1, 2, 3, 4],
+                          [5, 6, 7, 8],
+                          [9, 10, 11, 12],
+                          [13, 14, 15, 0]]], jnp.int32)
+    got = np.asarray(
+        SRCH.expectimax_scores(apply_fn, params, board[0][None], coefs=COEFS))
+    want = _brute_force_scores(apply_fn, params, board[0], COEFS)
+    np.testing.assert_allclose(got[0], want, rtol=1e-4, atol=1e-5)
+    # And at least one child of this board really is terminal.
+    moves = engine.all_moves(board)
+    any_dead = False
+    for d in range(4):
+        if not bool(moves.legal[d, 0]):
+            continue
+        merged = np.asarray(moves.boards[d, 0])
+        for (r, c) in [(r, c) for r in range(4) for c in range(4)
+                       if merged[r, c] == 0]:
+            for exp in (1, 2):
+                child = merged.copy()
+                child[r, c] = exp
+                any_dead |= not _alive(child)
+    assert any_dead
 
 
 def test_expectimax_masks_illegal(model):
@@ -80,15 +131,17 @@ def test_search_rollout_completes(model):
     np.testing.assert_array_equal(pts, np.asarray(pts2))
 
 
-def _brute_force_depth2(apply_fn, params, board, points_coef, value_coef):
-    """Exact 2-ply expectimax with plain Python loops: each spawn child is
-    valued by its own best 1-ply score (0 if terminal)."""
-    moves = engine.all_moves(board[None])
+def _brute_force_depth2(apply_fn, params, board, coefs):
+    """Exact 2-ply expectimax with plain Python loops: each live spawn child
+    is valued by its own best 1-ply action score minus phi(child) (the state
+    value re-adds the constant the action scores drop); terminal children 0."""
+    moves = engine.all_moves(jnp.asarray(board, jnp.int32)[None])
     out = np.full(4, -np.inf)
     for d in range(4):
         if not bool(moves.legal[d, 0]):
             continue
         merged = np.asarray(moves.boards[d, 0])
+        phi_m = _phi(merged, coefs)
         empties = [(r, c) for r in range(4) for c in range(4)
                    if merged[r, c] == 0]
         ev = 0.0
@@ -96,15 +149,15 @@ def _brute_force_depth2(apply_fn, params, board, points_coef, value_coef):
             for exp, pr in ((1, 0.9), (2, 0.1)):
                 child = merged.copy()
                 child[r, c] = exp
-                child_j = jnp.asarray(child, jnp.int32)
-                child_moves = engine.all_moves(child_j[None])
-                if not bool(child_moves.any_legal[0]):
-                    v = 0.0  # terminal: game over, zero future return
+                if _alive(child):
+                    sv = float(np.max(_brute_force_scores(
+                        apply_fn, params, jnp.asarray(child, jnp.int32),
+                        coefs))) - _phi(child, coefs)
+                    contrib = phi_m + sv
                 else:
-                    v = float(np.max(_brute_force_scores(
-                        apply_fn, params, child_j, points_coef, value_coef)))
-                ev += pr / len(empties) * v
-        out[d] = points_coef * float(moves.scores[d, 0]) + value_coef * ev
+                    contrib = 0.0
+                ev += pr / len(empties) * contrib
+        out[d] = coefs.points * float(moves.scores[d, 0]) + coefs.gamma * ev
     return out
 
 
@@ -113,38 +166,8 @@ def test_expectimax_depth2_matches_brute_force(model):
     rng = np.random.default_rng(7)
     boards = jnp.asarray(rng.integers(0, 6, (3, 4, 4)), jnp.int32)
     got = np.asarray(
-        SRCH.expectimax_scores(apply_fn, params, boards,
-                               points_coef=0.1, value_coef=2.5, depth=2))
+        SRCH.expectimax_scores(apply_fn, params, boards, coefs=COEFS,
+                               depth=2))
     for i in range(boards.shape[0]):
-        want = _brute_force_depth2(apply_fn, params, boards[i], 0.1, 2.5)
+        want = _brute_force_depth2(apply_fn, params, boards[i], COEFS)
         np.testing.assert_allclose(got[i], want, rtol=1e-4, atol=1e-5)
-
-
-def test_search_rollout_depth2_completes(model):
-    params, apply_fn = model
-    pts, final, nm = SRCH.search_rollout(
-        apply_fn, params, 4, 60, jax.random.key(3), depth=2)
-    pts, nm = np.asarray(pts), np.asarray(nm)
-    assert (pts >= 0).all() and (nm > 0).all()
-
-
-def test_search_play_best_mirrors_search_rollout(model):
-    """The recording host-loop player and the fused while_loop rollout share
-    RNG structure, so per-game scores must agree exactly."""
-    from tpu2048.models import MLPConfig
-    from tpu2048.train import evaluate as EV
-
-    params, apply_fn = model
-    cfg = MLPConfig(hidden_dim=32, num_layers=1)
-    pts, _, nm = SRCH.search_rollout(
-        apply_fn, params, 6, 200, jax.random.key(99),
-        points_coef=0.1, value_coef=2.0)
-    ep = EV.search_play_best(params, cfg, "mlp", num_games=6, env_seed=99,
-                             points_coef=0.1, value_coef=2.0, depth=1,
-                             max_steps=200)
-    assert ep["total_points"] == int(np.asarray(pts).max())
-    best = int(np.asarray(pts).argmax())
-    assert len(ep["moves"]) == int(np.asarray(nm)[best])
-    # Replay consistency: every recorded transition is a legal engine step.
-    first = ep["moves"][0]
-    assert sum(v for row in first["state_before"] for v in row) >= 2

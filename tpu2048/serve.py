@@ -70,10 +70,10 @@ class PolicyService:
         if depth not in self._search_fns:
             from .algo import search as SRCH
 
-            pc, vc = self._search_coefs
+            coefs = self._search_coefs
             self._search_fns[depth] = jax.jit(
                 lambda p, b: SRCH.expectimax_scores(
-                    self._apply, p, b, None, pc, vc, depth))
+                    self._apply, p, b, None, coefs, depth))
         return np.asarray(self._search_fns[depth](self.params, boards))
 
     def info(self) -> dict:

@@ -164,14 +164,13 @@ def cmd_export_demo(args) -> None:
     elif args.search:
         from .evaluate import load_search_coefs, search_play_best
 
-        pc, vc = load_search_coefs(args.model_path)
+        coefs = load_search_coefs(args.model_path)
         print(f"Search play for demo export (depth={args.search_depth}, "
-              f"points_coef={pc:.3g}, value_coef={vc:.3g})")
+              f"coefs={coefs})")
         best = search_play_best(params, model_cfg, model_type,
                                 num_games=args.num_games,
                                 env_seed=args.seed if args.seed else 12345,
-                                points_coef=pc, value_coef=vc,
-                                depth=args.search_depth)
+                                coefs=coefs, depth=args.search_depth)
     else:
         best = play_best_of(params, model_cfg, model_type,
                             num_games=args.num_games, seed=args.seed)

@@ -88,12 +88,15 @@ def run_eval(params, model_cfg, model_type, games: int, seed: int = 0,
     )
 
 
-def load_search_coefs(path) -> tuple[float, float]:
-    """(points_coef, value_coef) for expectimax eval, from the train-state
-    checkpoint's RTG moments when available (value_coef = gamma * sigma
-    denormalizes the critic up to an action-independent constant; see
-    algo/search.py). Falls back to pure-EV search (0, 1) for params-only
-    checkpoints, where the critic's scale is unknown."""
+def load_search_coefs(path):
+    """SearchCoefs for expectimax eval, tying search scores to the trained
+    objective: reward weights + gamma from the train-state config, and the
+    critic denormalization (sigma, mu) from its RTG moments (see
+    algo/search.py for the exact Bellman backup). Falls back to pure
+    normalized-EV search (critic leaves, terminal masking, no shaping) for
+    params-only checkpoints, where the critic's scale is unknown."""
+    from ..algo.search import SearchCoefs
+
     p = Path(path)
     try:
         with open(p / "train_state.json") as f:
@@ -107,17 +110,21 @@ def load_search_coefs(path) -> tuple[float, float]:
         beta = float(cfg.get("rtg_beta", 0.99))
         step = int(manifest.get("train_step", 0))
         corr = max(1.0 - beta ** max(step, 1), 1e-8)
-        sigma = float(np.sqrt(max(m2 / corr - (mu / corr) ** 2, 1e-12)))
-        gamma = float(cfg.get("gamma", 0.99))
-        return float(cfg.get("points_weight", 0.1)), gamma * sigma
+        mu_hat = mu / corr
+        sigma = float(np.sqrt(max(m2 / corr - mu_hat ** 2, 1e-12)))
+        return SearchCoefs(
+            points=float(cfg.get("points_weight", 0.1)),
+            mono=float(cfg.get("monotonicity_weight", 0.0)),
+            empt=float(cfg.get("emptiness_weight", 0.0)),
+            sigma=sigma, mu=float(mu_hat),
+            gamma=float(cfg.get("gamma", 0.99)))
     except Exception:
-        return 0.0, 1.0
+        return SearchCoefs()
 
 
 def run_search_eval(params, model_cfg, model_type, games: int,
                     max_steps: int = 4096, env_seed: int = 12345,
-                    points_coef: float = 0.0, value_coef: float = 1.0,
-                    depth: int = 1) -> dict:
+                    coefs=None, depth: int = 1) -> dict:
     """Expectimax (exact chance nodes, critic leaves) evaluation —
     deterministic given the env stream."""
     from ..algo import search as SRCH
@@ -125,7 +132,7 @@ def run_search_eval(params, model_cfg, model_type, games: int,
     apply_eval = _apply_fn(model_cfg, model_type)
     pts, final, _ = SRCH.search_rollout(
         apply_eval, params, games, max_steps, jax.random.key(env_seed),
-        points_coef=points_coef, value_coef=value_coef, depth=depth)
+        coefs=coefs if coefs is not None else SRCH.SearchCoefs(), depth=depth)
     scores = np.asarray(pts)
     tiles = np.asarray(engine.max_tile_value(final.astype(jnp.int32)))
     return dict(
@@ -146,12 +153,13 @@ def evaluate_checkpoint(path, games: int = 100, seed: int = 0,
     print(f"Evaluating model from: {path}")
     print(f"Running {games} evaluation games...")
     if search:
-        pc, vc = load_search_coefs(path)
+        coefs = load_search_coefs(path)
         print(f"Expectimax search eval (depth={search_depth}, "
-              f"points_coef={pc:.3g}, value_coef={vc:.3g})")
+              f"points={coefs.points:.3g}, mono={coefs.mono:.3g}, "
+              f"empt={coefs.empt:.3g}, sigma={coefs.sigma:.3g}, "
+              f"mu={coefs.mu:.3g}, gamma={coefs.gamma:.3g})")
         m = run_search_eval(params, mc, mt, games, env_seed=env_seed,
-                            points_coef=pc, value_coef=vc,
-                            depth=search_depth)
+                            coefs=coefs, depth=search_depth)
     else:
         m = run_eval(params, mc, mt, games, seed=seed, greedy=greedy,
                      env_seed=env_seed)
@@ -163,8 +171,7 @@ def evaluate_checkpoint(path, games: int = 100, seed: int = 0,
 
 
 def search_play_best(params, model_cfg, model_type, num_games: int = 64,
-                     env_seed: int = 12345, points_coef: float = 0.0,
-                     value_coef: float = 1.0, depth: int = 1,
+                     env_seed: int = 12345, coefs=None, depth: int = 1,
                      max_steps: int = 4096) -> dict:
     """Play ``num_games`` in lockstep with expectimax action selection and
     return the best episode as the host dict the demo exporter consumes.
@@ -178,13 +185,15 @@ def search_play_best(params, model_cfg, model_type, num_games: int = 64,
     from ..algo import search as SRCH
 
     apply_eval = _apply_fn(model_cfg, model_type)
+    if coefs is None:
+        coefs = SRCH.SearchCoefs()
 
     @jax.jit
     def one_move(p, boards, key, alive):
         key, k_spawn = jax.random.split(key)
         moves = engine.all_moves(boards)
         s = SRCH.expectimax_scores(apply_eval, p, boards, moves,
-                                   points_coef, value_coef, depth)
+                                   coefs, depth)
         action = jnp.argmax(s, axis=-1)
         res = engine.step(boards, action, k_spawn, moves=moves)
         step_alive = alive & moves.any_legal

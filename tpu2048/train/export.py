@@ -32,10 +32,10 @@ def export_demo_assets(params, model_cfg, model_type: str, best_episode,
 
     cfg_dict = dict(model_cfg.to_dict(), model_type=model_type.lower())
     if search_coefs is not None:
-        # Consumed by the demo's in-browser expectimax (web/js/model.js):
-        # score = points * merge_points + value * E[V(child)].
-        cfg_dict["search_coefs"] = {"points": search_coefs[0],
-                                    "value": search_coefs[1]}
+        # Consumed by the demo's in-browser expectimax (web/js/model.js) —
+        # the same shaped Bellman backup as algo/search.py:
+        # score(a) = points*pts + gamma*E[alive * (mono*phi(m) + sigma*V + mu)].
+        cfg_dict["search_coefs"] = dict(search_coefs._asdict())
     with open(out / "model_config.json", "w") as f:
         json.dump(cfg_dict, f, indent=2)
 

@@ -127,16 +127,15 @@ def watch_agent(model_path=None, delay: float = 0.5, seed: int = 0,
     if search:
         from ..algo import search as SRCH
 
-        pc, vc = (0.0, 1.0)
+        coefs = SRCH.SearchCoefs()
         if model_path:
             from .evaluate import load_search_coefs
 
-            pc, vc = load_search_coefs(model_path)
+            coefs = load_search_coefs(model_path)
         depth = max(1, min(int(search), 2))
-        print(f"Expectimax move selection (depth={depth}, "
-              f"points_coef={pc:.3g}, value_coef={vc:.3g})")
+        print(f"Expectimax move selection (depth={depth}, coefs={coefs})")
         search_fn = jax.jit(lambda p, b: SRCH.expectimax_scores(
-            apply_eval, p, b, None, pc, vc, depth))
+            apply_eval, p, b, None, coefs, depth))
     rng = np.random.default_rng(seed)
     grid = oracle.reset()
 

@@ -26,7 +26,9 @@ class UIController {
     this.timer = null;
     this.speedIdx = 2;
     this.searchMode = false;
-    this.searchCoefs = { points: 0, value: 1 };
+    // Pure normalized-EV fallback; model_config.json's search_coefs
+    // (points/mono/empt/sigma/mu/gamma — see train/export.py) override it.
+    this.searchCoefs = {};
     this.bind();
     this.loadAssets();
   }
