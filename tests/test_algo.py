@@ -290,3 +290,67 @@ def test_augment_produces_consistent_samples(rng):
         # permuted mask must agree with the transformed board's legality
         assert not m[i, a[i]]
         assert m[i].tolist() == [not oracle.direction_is_legal(grid, d) for d in range(4)]
+
+
+def test_imitation_loss_direction(rng):
+    """losses.imitation_loss (expert iteration): the CE term equals the
+    masked NLL at the expert action (cross-checked vs torch), and one
+    gradient step on the logits raises the expert action's probability."""
+    B = 16
+    logits = jnp.asarray(rng.normal(size=(B, 4)), jnp.float32)
+    values = jnp.asarray(rng.normal(size=(B, 1)), jnp.float32)
+    mask = jnp.zeros((B, 4), jnp.bool_).at[:, 3].set(True)  # action 3 invalid
+    targets = jnp.asarray(rng.integers(0, 3, (B,)), jnp.int32)
+    rtg = jnp.asarray(rng.normal(size=(B,)), jnp.float32)
+    old_lp = jnp.zeros((B, 4), jnp.float32)
+    w = jnp.ones((B,), jnp.float32)
+
+    def f(z):
+        loss, _ = losses.imitation_loss(
+            z, values, targets, mask, jnp.zeros((B,)), rtg, old_lp, w,
+            kl_strength=0.0, critic_strength=0.0)
+        return loss
+
+    loss, g = jax.value_and_grad(f)(logits)
+    # Torch cross-check: CE of the -inf-masked log_softmax at the target.
+    t = torch.tensor(np.asarray(logits))
+    t[:, 3] = float("-inf")
+    want = F.cross_entropy(t, torch.tensor(np.asarray(targets), dtype=torch.long))
+    np.testing.assert_allclose(float(loss), float(want), rtol=1e-5)
+    # Gradient direction: stepping against the gradient raises P(expert a).
+    stepped = logits - 1.0 * g
+    p0 = jax.nn.softmax(jnp.where(mask, -jnp.inf, logits), axis=-1)
+    p1 = jax.nn.softmax(jnp.where(mask, -jnp.inf, stepped), axis=-1)
+    sel = lambda p: np.asarray(jnp.take_along_axis(p, targets[:, None], axis=-1))
+    assert (sel(p1) > sel(p0)).all()
+
+
+def test_expert_rollout_records_expert_actions(rng):
+    """rollout(expert_depth=1) takes the expectimax argmax, not a policy
+    sample: replaying expectimax_scores on each recorded pre-move board
+    reproduces the recorded action."""
+    from tpu2048.algo import rollout as R
+    from tpu2048.algo import search as SRCH
+    from tpu2048.models import MLPConfig, mlp
+
+    cfg = MLPConfig(hidden_dim=16, num_layers=1)
+    params = mlp.init(jax.random.key(2), cfg, zero_heads=False)
+    apply_fn = lambda p, x: mlp.apply(p, cfg, x)
+    coefs = SRCH.SearchCoefs(points=0.1, mono=1.0, sigma=3.0, mu=1.0,
+                             gamma=0.99)
+    traj = R.rollout(apply_fn, params, jax.random.key(0), 4, 64,
+                     expert_depth=1, expert_coefs=coefs)
+    valid = np.asarray(traj.valid)
+    boards = np.asarray(traj.board_before, np.int32)
+    actions = np.asarray(traj.action)
+    checked = 0
+    for t in range(boards.shape[0]):
+        for n in range(boards.shape[1]):
+            if not valid[t, n] or checked >= 40:
+                continue
+            s = SRCH.expectimax_scores(
+                apply_fn, params, jnp.asarray(boards[t, n])[None],
+                coefs=coefs, depth=1)
+            assert int(np.argmax(np.asarray(s)[0])) == int(actions[t, n])
+            checked += 1
+    assert checked >= 20

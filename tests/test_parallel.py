@@ -212,3 +212,18 @@ def test_distributed_cli_trainer(tmp_path):
     train(replace(cfg, steps=4, resume=True, eval_freq=None))
     manifest = json.loads((tmp_path / "train_state.json").read_text())
     assert manifest["train_step"] == 3
+
+
+def test_sharded_expert_iteration_runs():
+    """expert_iter under the SPMD step: depth-1 expectimax rollout with
+    live-moment coefs + imitation objective runs on a 2-device mesh and
+    produces finite params/moments and the full scalar vector."""
+    cfg = _cfg(expert_iter=True, expert_depth=1, num_episodes=4,
+               batch_size=8, scan_cap=48)
+    params, labels, opt_cfg, apply_eval, apply_train = _setup(cfg)
+    p, o, m, traj, out = _run_sharded(
+        cfg, 2, jax.random.key(7), params, labels, opt_cfg, apply_eval,
+        apply_train)
+    assert np.isfinite(np.asarray(out["scalars"])).all()
+    jax.tree.map(lambda a: np.testing.assert_(np.isfinite(np.asarray(a)).all()), p)
+    assert float(np.asarray(traj.total_points).max()) > 0

@@ -100,6 +100,52 @@ def ppo_loss(logits, values, targets, action_mask, advantage, rtg,
     return loss, stats
 
 
+def imitation_loss(logits, values, targets, action_mask, advantage, rtg,
+                   old_logprobs, weights, *, kl_strength, critic_strength,
+                   denom=None):
+    """Expert-iteration objective (net-new — no reference counterpart):
+    cross-entropy of the masked policy at the expert's action, plus the SAME
+    entropy bonus and smooth-L1 value loss as ``ppo_loss`` (identical masking
+    and clamping quirks, so the metric surface stays comparable).
+
+        objective = log pi(a_expert | s) - critic*value_loss + beta*entropy
+
+    ``advantage`` and ``old_logprobs`` are accepted (same minibatch schema as
+    PPO — augmentation and the KL diagnostic reuse them) but do not enter the
+    loss: the expert's actions are supervision, not samples to reweight.
+    """
+    del advantage
+    masked = jnp.where(action_mask, NEG_INF, logits)
+    all_invalid = jnp.all(action_mask, axis=-1, keepdims=True)
+    safe_masked = jnp.where(all_invalid, 0.0, masked)  # padding rows only
+    new_policy_logprobs = jax.nn.log_softmax(safe_masked, axis=-1)
+
+    tgt = targets[:, None]
+    new_lp = jnp.take_along_axis(new_policy_logprobs, tgt, axis=-1)[:, 0]
+
+    clamped = jnp.clip(masked, -LOGIT_CLAMP, LOGIT_CLAMP)
+    lp2 = jax.nn.log_softmax(clamped, axis=-1)
+    plogp = jnp.where(action_mask, 0.0, lp2 * jnp.exp(lp2))
+    entropy = -jnp.sum(plogp, axis=-1)
+
+    value_l = smooth_l1(values[:, 0], rtg)
+
+    d = jnp.maximum(jnp.sum(weights), 1.0) if denom is None else denom
+    wmean = lambda x: jnp.sum(x * weights) / d
+
+    objective = new_lp - critic_strength * value_l + kl_strength * entropy
+    loss = -wmean(objective)
+
+    stats = LossStats(
+        loss=loss,
+        policy_loss=-wmean(jax.lax.stop_gradient(new_lp)),
+        entropy_loss=-kl_strength * wmean(jax.lax.stop_gradient(entropy)),
+        value_loss=critic_strength * wmean(jax.lax.stop_gradient(value_l)),
+        entropy=wmean(jax.lax.stop_gradient(entropy)),
+    )
+    return loss, stats
+
+
 def kl_old_new(old_logits, new_logits, action_mask, weights, denom=None):
     """Diagnostic KL(old || new) over valid actions with renormalized masked
     log_softmax (train.py:594-601). Returns (kl_sum, kl_mean, kl_max) with

@@ -104,7 +104,8 @@ def masked_policy(logits: jnp.ndarray, invalid_mask: jnp.ndarray) -> tuple:
 
 
 def rollout(apply_fn, params, key: jax.Array, num_envs: int, max_steps: int,
-            env_key: jax.Array | None = None, greedy: bool = False) -> Trajectory:
+            env_key: jax.Array | None = None, greedy: bool = False,
+            expert_depth: int = 0, expert_coefs=None) -> Trajectory:
     """Play ``num_envs`` games to completion (or ``max_steps``).
 
     ``apply_fn(params, inputs) -> (logits, value)`` must be the eval-mode
@@ -117,6 +118,13 @@ def rollout(apply_fn, params, key: jax.Array, num_envs: int, max_steps: int,
 
     ``greedy=True`` takes argmax over the masked logits instead of sampling
     (invalid actions are -inf so the argmax is always a legal move).
+
+    ``expert_depth > 0`` (expert iteration, net-new): actions come from
+    ``expert_depth``-ply expectimax search (algo/search.py) with
+    ``expert_coefs`` tying the critic leaves to the trained objective,
+    instead of the sampled policy. The policy's logprobs/entropy/value are
+    still recorded per step — the learner imitates the expert's action while
+    regressing the value head on the expert trajectory's returns.
     """
     T, N = max_steps, num_envs
     if env_key is None:
@@ -152,7 +160,15 @@ def rollout(apply_fn, params, key: jax.Array, num_envs: int, max_steps: int,
         enc = encode_boards(boards)
         logits, value = apply_fn(params, enc)
         masked, logprobs, entropy = masked_policy(logits, invalid)
-        if greedy:
+        if expert_depth > 0:
+            from . import search as SRCH
+
+            scores = SRCH.expectimax_scores(
+                apply_fn, params, boards, moves,
+                expert_coefs if expert_coefs is not None else SRCH.SearchCoefs(),
+                expert_depth)
+            action = jnp.argmax(scores, axis=-1).astype(jnp.int32)
+        elif greedy:
             action = jnp.argmax(masked, axis=-1).astype(jnp.int32)
         else:
             action = jax.random.categorical(k_act, masked, axis=-1).astype(jnp.int32)

@@ -57,6 +57,19 @@ class SearchCoefs(NamedTuple):
     gamma: float = 0.99
 
 
+def coefs_from_moments(moments, rtg_step, points: float, mono: float,
+                       empt: float, gamma: float, rtg_beta: float) -> SearchCoefs:
+    """SearchCoefs from LIVE streaming RTG moments — jit-traceable, so the
+    expert-iteration rollout can denormalize the critic with the exact
+    (bias-corrected) moments the learner normalizes with this step
+    (algo/advantage.py::normalize_rtg)."""
+    corr = jnp.maximum(1.0 - rtg_beta ** jnp.maximum(rtg_step, 1), 1e-8)
+    mu_hat = moments.mu / corr
+    sigma = jnp.sqrt(jnp.maximum(moments.m2 / corr - jnp.square(mu_hat), 1e-8))
+    return SearchCoefs(points=points, mono=mono, empt=empt,
+                       sigma=sigma, mu=mu_hat, gamma=gamma)
+
+
 def potential(boards: jnp.ndarray, coefs: SearchCoefs) -> jnp.ndarray:
     """phi(s) of the trained PBRS shaping, over (..., 4, 4) boards."""
     phi = coefs.mono * H.monotonicity(boards).astype(jnp.float32)

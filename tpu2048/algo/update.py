@@ -57,12 +57,16 @@ class OptimizeStats(NamedTuple):
 
 def make_optimize_fn(apply_fn, labels, opt_config: opt.OptimizerConfig,
                      batch_size: int, epochs: int, kl_diagnostic: bool = True,
-                     axis_name: str | None = None):
+                     axis_name: str | None = None, objective: str = "ppo"):
     """Build optimize(params, opt_state, dataset, key, beta, critic_strength,
     schedule_mult) -> (params, opt_state, OptimizeStats).
 
     ``apply_fn(params, inputs, rng)`` must be the TRAIN-mode forward
     (dropout active when rng is not None).
+
+    ``objective``: ``"ppo"`` (reference semantics) or ``"imitation"``
+    (expert iteration: cross-entropy at the rollout's expert actions — see
+    losses.imitation_loss). Both consume the same Dataset schema.
 
     ``axis_name``: run data-parallel under shard_map over that mesh axis.
     ``batch_size`` is then the PER-DEVICE minibatch size; every device runs
@@ -72,11 +76,13 @@ def make_optimize_fn(apply_fn, labels, opt_config: opt.OptimizerConfig,
     stay bit-identical across devices. Stats are psum'd to global means."""
     ar_sum = (lambda x: jax.lax.psum(x, axis_name)) if axis_name else (lambda x: x)
     ar_max = (lambda x: jax.lax.pmax(x, axis_name)) if axis_name else (lambda x: x)
+    loss_impl = {"ppo": losses.ppo_loss,
+                 "imitation": losses.imitation_loss}[objective]
 
     def loss_fn(params, batch, weights, beta, critic_strength, rng, denom):
         inputs = encode_boards(batch["board"].astype(jnp.int32))
         logits, values = apply_fn(params, inputs, rng)
-        loss, stats = losses.ppo_loss(
+        loss, stats = loss_impl(
             logits, values, batch["action"], batch["mask"], batch["advantage"],
             batch["rtg"], batch["logprobs"], weights,
             kl_strength=beta, critic_strength=critic_strength, denom=denom,

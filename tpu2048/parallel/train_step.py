@@ -82,6 +82,7 @@ def make_sharded_train_step(mesh: Mesh, cfg, apply_eval, apply_train, labels,
     optimize_fn = U.make_optimize_fn(
         apply_train, labels, opt_config, local_bs, cfg.ppo_epochs,
         kl_diagnostic=cfg.kl_diagnostic, axis_name=AXIS,
+        objective="imitation" if getattr(cfg, "expert_iter", False) else "ppo",
     )
     process = make_process_fn(cfg, apply_train, labels, optimize_fn,
                               axis_name=AXIS, num_envs_local=local_envs,
@@ -91,7 +92,18 @@ def make_sharded_train_step(mesh: Mesh, cfg, apply_eval, apply_train, labels,
         didx = jax.lax.axis_index(AXIS)
         key = jax.random.fold_in(key, didx)
         k_roll, k_proc = jax.random.split(key)
-        traj = R.rollout(apply_eval, params, k_roll, local_envs, T)
+        if getattr(cfg, "expert_iter", False):
+            from ..algo import search as SRCH
+
+            coefs = SRCH.coefs_from_moments(
+                moments, train_step, cfg.points_weight,
+                cfg.monotonicity_weight, cfg.emptiness_weight, cfg.gamma,
+                cfg.rtg_beta)
+            traj = R.rollout(apply_eval, params, k_roll, local_envs, T,
+                             expert_depth=cfg.expert_depth,
+                             expert_coefs=coefs)
+        else:
+            traj = R.rollout(apply_eval, params, k_roll, local_envs, T)
         new_params, new_opt_state, new_moments, outputs = process(
             params, opt_state, traj, moments, k_proc, train_step, beta
         )

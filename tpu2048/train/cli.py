@@ -86,6 +86,12 @@ def _add_train_flags(p: argparse.ArgumentParser) -> None:
     add("--dropout", type=float, default=0.1)
     add("--eval-env-seed", dest="eval_env_seed", type=int, default=12345,
         help="Seed of the fixed env stream used by eval-in-train")
+    add("--expert-iter", dest="expert_iter", action="store_true",
+        help="Expert iteration: rollout with expectimax-search actions "
+             "(critic leaves, live RTG-moment denormalization) and train the "
+             "policy by imitation instead of PPO")
+    add("--expert-depth", dest="expert_depth", type=int, default=1,
+        choices=(1, 2), help="Search depth of the expert rollout")
     # multi-host launch (SURVEY.md §5.8; net-new — the reference has no
     # distributed layer). Run the SAME command on every host with its own
     # --process-id; the mesh then spans all hosts' chips.

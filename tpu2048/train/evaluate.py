@@ -126,15 +126,29 @@ def run_search_eval(params, model_cfg, model_type, games: int,
                     max_steps: int = 4096, env_seed: int = 12345,
                     coefs=None, depth: int = 1) -> dict:
     """Expectimax (exact chance nodes, critic leaves) evaluation —
-    deterministic given the env stream."""
+    deterministic given the env stream.
+
+    Games run in bounded chunks: the depth-2 tree materializes
+    4*N*32*4*32 ~ 16k*N critic leaves per move, which OOM-crashes the TPU
+    worker around N~256 — chunking caps peak memory with no effect on the
+    result (each chunk gets its own env stream, folded from ``env_seed``)."""
     from ..algo import search as SRCH
 
     apply_eval = _apply_fn(model_cfg, model_type)
-    pts, final, _ = SRCH.search_rollout(
-        apply_eval, params, games, max_steps, jax.random.key(env_seed),
-        coefs=coefs if coefs is not None else SRCH.SearchCoefs(), depth=depth)
-    scores = np.asarray(pts)
-    tiles = np.asarray(engine.max_tile_value(final.astype(jnp.int32)))
+    chunk = min(games, 256 if depth <= 1 else 32)
+    scores_l, tiles_l = [], []
+    base = jax.random.key(env_seed)
+    for i in range(0, games, chunk):
+        n = min(chunk, games - i)
+        pts, final, _ = SRCH.search_rollout(
+            apply_eval, params, n, max_steps,
+            jax.random.fold_in(base, i // chunk),
+            coefs=coefs if coefs is not None else SRCH.SearchCoefs(),
+            depth=depth)
+        scores_l.append(np.asarray(pts))
+        tiles_l.append(np.asarray(engine.max_tile_value(final.astype(jnp.int32))))
+    scores = np.concatenate(scores_l)
+    tiles = np.concatenate(tiles_l)
     return dict(
         max_score=int(scores.max()),
         avg_score=float(scores.mean()),

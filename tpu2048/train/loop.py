@@ -102,6 +102,11 @@ class TrainConfig:
     checkpoint_freq: Optional[int] = None  # full-state checkpoint cadence
     mesh_data: int = 1  # >1: SPMD data-parallel trainer over an N-device mesh
     eval_env_seed: int = 12345  # env stream for eval-in-train (fixed per eval)
+    # Expert iteration (net-new): rollout actions come from expert_depth-ply
+    # expectimax search with live-moment coefs; the learner imitates them
+    # (cross-entropy) instead of PPO. See algo/search.py, losses.imitation_loss.
+    expert_iter: bool = False
+    expert_depth: int = 1
 
     @property
     def rollout_cap(self) -> int:
@@ -460,12 +465,30 @@ def train(cfg: TrainConfig) -> dict:
         optimize_fn = U.make_optimize_fn(
             apply_train, labels, opt_cfg, cfg.batch_size, cfg.ppo_epochs,
             kl_diagnostic=cfg.kl_diagnostic,
+            objective="imitation" if cfg.expert_iter else "ppo",
         )
         process_fn = make_process_fn(cfg, apply_train, labels, optimize_fn)
         N, T = cfg.num_episodes, cfg.rollout_cap
-        rollout_fn = jax.jit(
-            lambda p, k: R.rollout(apply_eval, p, k, N, T)
-        )
+        if cfg.expert_iter:
+            from ..algo import search as SRCH
+
+            logger.print(
+                f"Expert iteration: depth-{cfg.expert_depth} expectimax "
+                "rollout, imitation + value objective")
+
+            def _roll(p, k, m, ts):
+                coefs = SRCH.coefs_from_moments(
+                    m, ts, cfg.points_weight, cfg.monotonicity_weight,
+                    cfg.emptiness_weight, cfg.gamma, cfg.rtg_beta)
+                return R.rollout(apply_eval, p, k, N, T,
+                                 expert_depth=cfg.expert_depth,
+                                 expert_coefs=coefs)
+
+            rollout_fn = jax.jit(_roll)
+        else:
+            rollout_fn = jax.jit(
+                lambda p, k, m, ts: R.rollout(apply_eval, p, k, N, T)
+            )
     heur_fn = make_episode_heuristics_fn()
     eval_fn = make_eval_fn(cfg, apply_eval) if cfg.eval_freq else None
 
@@ -529,7 +552,8 @@ def train(cfg: TrainConfig) -> dict:
             )
         else:
             key, k_roll, k_proc = jax.random.split(key, 3)
-            traj = rollout_fn(params, k_roll)
+            traj = rollout_fn(params, k_roll, moments,
+                              jnp.int32(train_step + 1))
             params, opt_state, moments, out = process_fn(
                 params, opt_state, traj, moments, k_proc,
                 jnp.int32(train_step + 1), jnp.float32(current_beta),
