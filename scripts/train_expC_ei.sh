@@ -1,0 +1,30 @@
+#!/usr/bin/env bash
+# Round-2 experiment C: EXPERT ITERATION from expA's best model.
+# The corrected depth-2 expectimax (algo/search.py) turns the expA
+# checkpoint into a 24.5k-average / 60%-2048 player (BENCH.md) — 2.8x the
+# policy it wraps. This run distills that expert back into the network:
+# rollouts take depth-2 search actions (~43 s for 32 games, ~41k samples),
+# the policy trains cross-entropy on them, the critic regresses the
+# expert trajectories' returns. Better critic => better expert => better
+# targets — the AlphaZero-style cycle, feasible only because the batched
+# TPU engine makes the ~16k-leaf-per-move expert cheap.
+# Config notes:
+#   * critic 1.0: the value fit is the engine of the cycle (CE is easy);
+#   * fixed small entropy bonus (imitating a deterministic expert should
+#     sharpen the policy; no adaptive annealing needed);
+#   * rtg-beta 0.9: moments must re-calibrate fast, returns jump ~3x —
+#     and the warm start measures them under expert play to begin with;
+#   * scan-cap 2560: expert games run ~1,300-2,560 moves.
+# Prereq (already run):
+#   python scripts/warmstart_from_best.py --ckpt-dir checkpoints_ei \
+#     --src-dir checkpoints_expA --gamma 0.995 --train-step 100 \
+#     --highest-score 40520 --expert-depth 2
+cd "$(dirname "$0")/.."
+python train.py train --steps "${1:-700}" --episodes 32 --batch-size 4096 \
+  --lr 8e-4 --critic-lr 8e-4 -H 196 --gamma 0.995 \
+  --entropy 0.001 \
+  --points 0.10 --mono 1.0 --critic 1.0 --rtg-beta 0.9 \
+  --warmup-steps 5 --upsample-ratio 0.25 -t mlp --no-kl-diagnostic \
+  --expert-iter --expert-depth 2 \
+  --print-freq 100 --eval-freq 25 --eval-games 256 --checkpoint-freq 25 \
+  --checkpoint-dir checkpoints_ei --log-dir logs_ei --scan-cap 2560 --resume

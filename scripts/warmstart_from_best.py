@@ -22,19 +22,36 @@ from tpu2048.train.evaluate import load_model_checkpoint
 
 
 def main(ckpt_dir="checkpoints_ht", train_step=4500, gamma=0.99,
-         points_w=0.10, mono_w=1.0, src_dir=None, highest_score=0):
+         points_w=0.10, mono_w=1.0, src_dir=None, highest_score=0,
+         expert_depth=0):
     """Keep train_step high enough that the RTG bias correction
-    (1 - rtg_beta^step) is ~1.0 for the stored unbiased moments."""
+    (1 - rtg_beta^step) is ~1.0 for the stored unbiased moments.
+
+    ``expert_depth > 0``: measure the moments under EXPERT (expectimax)
+    play instead of the sampled policy — the right calibration when the
+    checkpoint seeds an expert-iteration run, whose returns are the
+    expert's, not the policy's."""
     params, mc, mt = load_model_checkpoint(src_dir or ckpt_dir)
     import json
     manifest_best = json.load(open(Path(src_dir or ckpt_dir) / "best_model.json"))
     labels = mlp.param_labels(params)
     opt_state = opt.init(params, labels)
 
-    # Measure raw return moments under the current policy.
+    # Measure raw return moments under the current policy (or expert).
     apply_eval = lambda p, x: mlp.apply(p, mc, x)
-    traj = jax.jit(lambda p, k: R.rollout(apply_eval, p, k, 128, 2048))(
-        params, jax.random.key(123))
+    if expert_depth:
+        from tpu2048.train.evaluate import load_search_coefs
+
+        coefs = load_search_coefs(src_dir or ckpt_dir)
+        print(f"measuring moments under depth-{expert_depth} expert play "
+              f"({coefs})")
+        n_games = 32 if expert_depth >= 2 else 128
+        traj = jax.jit(lambda p, k: R.rollout(
+            apply_eval, p, k, n_games, 2560, expert_depth=expert_depth,
+            expert_coefs=coefs))(params, jax.random.key(123))
+    else:
+        traj = jax.jit(lambda p, k: R.rollout(apply_eval, p, k, 128, 2048))(
+            params, jax.random.key(123))
     w = A.RewardWeights(points=points_w, monotonicity=mono_w)
     r = A.step_rewards(traj.points, traj.mono_before, traj.mono_after,
                        traj.empt_before, traj.empt_after, w, gamma)
@@ -84,6 +101,8 @@ if __name__ == "__main__":
     ap.add_argument("--points", type=float, default=0.10)
     ap.add_argument("--mono", type=float, default=1.0)
     ap.add_argument("--highest-score", type=int, default=0)
+    ap.add_argument("--expert-depth", type=int, default=0,
+                    help="Measure moments under expert (expectimax) play")
     a = ap.parse_args()
     main(a.ckpt_dir, a.train_step, a.gamma, a.points, a.mono, a.src_dir,
-         a.highest_score)
+         a.highest_score, a.expert_depth)
