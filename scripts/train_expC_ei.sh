@@ -9,6 +9,12 @@
 # targets — the AlphaZero-style cycle, feasible only because the batched
 # TPU engine makes the ~16k-leaf-per-move expert cheap.
 # Config notes:
+#   * expert-mix 0.5 (DAgger): the first launch of this experiment used pure
+#     expert states (mix 1.0) and the policy's SOLO eval collapsed 8,848 ->
+#     1,392 within 40 steps — the imitator was never labeled on states it
+#     reaches by itself, and the degrading critic dragged the expert down
+#     with it (24.9k -> 15.2k). Half the envs now play the sampled policy,
+#     and every visited state gets the expert's label;
 #   * critic 1.0: the value fit is the engine of the cycle (CE is easy);
 #   * fixed small entropy bonus (imitating a deterministic expert should
 #     sharpen the policy; no adaptive annealing needed);
@@ -21,10 +27,10 @@
 #     --highest-score 40520 --expert-depth 2
 cd "$(dirname "$0")/.."
 python train.py train --steps "${1:-700}" --episodes 32 --batch-size 4096 \
-  --lr 8e-4 --critic-lr 8e-4 -H 196 --gamma 0.995 \
+  --lr 5e-4 --critic-lr 8e-4 -H 196 --gamma 0.995 \
   --entropy 0.001 \
   --points 0.10 --mono 1.0 --critic 1.0 --rtg-beta 0.9 \
   --warmup-steps 5 --upsample-ratio 0.25 -t mlp --no-kl-diagnostic \
-  --expert-iter --expert-depth 2 \
+  --expert-iter --expert-depth 2 --expert-mix 0.5 \
   --print-freq 100 --eval-freq 25 --eval-games 256 --checkpoint-freq 25 \
   --checkpoint-dir checkpoints_ei --log-dir logs_ei --scan-cap 2560 --resume

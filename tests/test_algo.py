@@ -326,9 +326,9 @@ def test_imitation_loss_direction(rng):
 
 
 def test_expert_rollout_records_expert_actions(rng):
-    """rollout(expert_depth=1) takes the expectimax argmax, not a policy
-    sample: replaying expectimax_scores on each recorded pre-move board
-    reproduces the recorded action."""
+    """rollout(expert_depth=1): every recorded target_action reproduces the
+    expectimax argmax on its pre-move board; expert-driven envs TAKE it,
+    policy-driven envs (expert_mix < 1, DAgger) sample the policy."""
     from tpu2048.algo import rollout as R
     from tpu2048.algo import search as SRCH
     from tpu2048.models import MLPConfig, mlp
@@ -338,11 +338,19 @@ def test_expert_rollout_records_expert_actions(rng):
     apply_fn = lambda p, x: mlp.apply(p, cfg, x)
     coefs = SRCH.SearchCoefs(points=0.1, mono=1.0, sigma=3.0, mu=1.0,
                              gamma=0.99)
-    traj = R.rollout(apply_fn, params, jax.random.key(0), 4, 64,
-                     expert_depth=1, expert_coefs=coefs)
+    N = 8
+    traj = R.rollout(apply_fn, params, jax.random.key(0), N, 64,
+                     expert_depth=1, expert_coefs=coefs, expert_mix=0.5)
     valid = np.asarray(traj.valid)
     boards = np.asarray(traj.board_before, np.int32)
     actions = np.asarray(traj.action)
+    targets = np.asarray(traj.target_action)
+    # Expert-driven envs (first half) take the target.
+    assert (actions[:, : N // 2][valid[:, : N // 2]]
+            == targets[:, : N // 2][valid[:, : N // 2]]).all()
+    # Policy-driven envs deviate from the expert at least sometimes.
+    pol_v = valid[:, N // 2:]
+    assert (actions[:, N // 2:][pol_v] != targets[:, N // 2:][pol_v]).any()
     checked = 0
     for t in range(boards.shape[0]):
         for n in range(boards.shape[1]):
@@ -351,6 +359,6 @@ def test_expert_rollout_records_expert_actions(rng):
             s = SRCH.expectimax_scores(
                 apply_fn, params, jnp.asarray(boards[t, n])[None],
                 coefs=coefs, depth=1)
-            assert int(np.argmax(np.asarray(s)[0])) == int(actions[t, n])
+            assert int(np.argmax(np.asarray(s)[0])) == int(targets[t, n])
             checked += 1
     assert checked >= 20

@@ -152,10 +152,11 @@ def test_expert_iteration_trains(tmp_path):
     lines = [json.loads(l) for l in logs[0].read_text().splitlines()
              if "policy_loss" in l]
     assert len(lines) == 3
-    # Imitation CE of a 4-way policy is bounded by log 4 and positive for a
-    # non-degenerate policy (the learning direction itself is unit-tested
+    # Imitation CE of a 4-way policy sits near log 4 for a near-uniform net
+    # after 3 tiny steps (it can exceed log 4 when the policy underweights
+    # the expert's choice; the learning direction itself is unit-tested
     # deterministically in tests/test_algo.py::test_imitation_loss_direction).
-    assert 0.0 < lines[-1]["policy_loss"] < np.log(4.0) + 1e-3
+    assert 0.0 < lines[-1]["policy_loss"] < 2.5
     # Full metric surface intact in imitation mode too.
     assert "kl_average" in lines[0] and "G_norm_std" in lines[0]
     # The expert's trajectory is what's recorded: scores should be well above

@@ -38,7 +38,10 @@ class Trajectory(NamedTuple):
 
     board_before: jnp.ndarray  # (T, N, 4, 4) int8 — state_before
     board_after: jnp.ndarray  # (T, N, 4, 4) int8 — result_state (post-spawn)
-    action: jnp.ndarray  # (T, N) int8
+    action: jnp.ndarray  # (T, N) int8 — the action actually TAKEN
+    target_action: jnp.ndarray  # (T, N) int8 — learning target (== action,
+    # except expert-iteration rollouts: the expert's argmax even on envs the
+    # policy drives — DAgger-style labels on the learner's own distribution)
     logprobs: jnp.ndarray  # (T, N, 4) f32 — behavior-policy log-softmax
     action_mask: jnp.ndarray  # (T, N, 4) bool, True = invalid
     value_pred: jnp.ndarray  # (T, N) f32
@@ -72,6 +75,7 @@ def _empty_traj(T: int, N: int) -> dict:
         board_before=z((T, N, 4, 4), jnp.int8),
         board_after=z((T, N, 4, 4), jnp.int8),
         action=z((T, N), jnp.int8),
+        target_action=z((T, N), jnp.int8),
         logprobs=z((T, N, 4), jnp.float32),
         action_mask=z((T, N, 4), jnp.bool_),
         value_pred=z((T, N), jnp.float32),
@@ -105,7 +109,8 @@ def masked_policy(logits: jnp.ndarray, invalid_mask: jnp.ndarray) -> tuple:
 
 def rollout(apply_fn, params, key: jax.Array, num_envs: int, max_steps: int,
             env_key: jax.Array | None = None, greedy: bool = False,
-            expert_depth: int = 0, expert_coefs=None) -> Trajectory:
+            expert_depth: int = 0, expert_coefs=None,
+            expert_mix: float = 1.0) -> Trajectory:
     """Play ``num_envs`` games to completion (or ``max_steps``).
 
     ``apply_fn(params, inputs) -> (logits, value)`` must be the eval-mode
@@ -119,12 +124,17 @@ def rollout(apply_fn, params, key: jax.Array, num_envs: int, max_steps: int,
     ``greedy=True`` takes argmax over the masked logits instead of sampling
     (invalid actions are -inf so the argmax is always a legal move).
 
-    ``expert_depth > 0`` (expert iteration, net-new): actions come from
+    ``expert_depth > 0`` (expert iteration, net-new): the expert is
     ``expert_depth``-ply expectimax search (algo/search.py) with
-    ``expert_coefs`` tying the critic leaves to the trained objective,
-    instead of the sampled policy. The policy's logprobs/entropy/value are
-    still recorded per step — the learner imitates the expert's action while
-    regressing the value head on the expert trajectory's returns.
+    ``expert_coefs`` tying the critic leaves to the trained objective. The
+    first ``round(expert_mix * N)`` envs TAKE the expert's action; the rest
+    sample from the policy as usual — but EVERY step records the expert's
+    argmax as ``target_action``. Training on the learner's own state
+    distribution with expert labels is the DAgger correction: pure
+    expert-state imitation (expert_mix=1) measurably collapses the policy's
+    solo play, because states the imitator reaches on its own were never
+    labeled. The policy's logprobs/entropy/value are recorded per step
+    regardless.
     """
     T, N = max_steps, num_envs
     if env_key is None:
@@ -167,11 +177,20 @@ def rollout(apply_fn, params, key: jax.Array, num_envs: int, max_steps: int,
                 apply_fn, params, boards, moves,
                 expert_coefs if expert_coefs is not None else SRCH.SearchCoefs(),
                 expert_depth)
-            action = jnp.argmax(scores, axis=-1).astype(jnp.int32)
+            target = jnp.argmax(scores, axis=-1).astype(jnp.int32)
+            n_expert = int(round(expert_mix * N))
+            if n_expert >= N:
+                action = target
+            else:
+                sampled = jax.random.categorical(
+                    k_act, masked, axis=-1).astype(jnp.int32)
+                action = jnp.where(jnp.arange(N) < n_expert, target, sampled)
         elif greedy:
             action = jnp.argmax(masked, axis=-1).astype(jnp.int32)
+            target = action
         else:
             action = jax.random.categorical(k_act, masked, axis=-1).astype(jnp.int32)
+            target = action
 
         mono_b, empt_b = heuristics.monotonicity(boards), heuristics.emptiness(boards)
 
@@ -198,6 +217,7 @@ def rollout(apply_fn, params, key: jax.Array, num_envs: int, max_steps: int,
         put("board_before", boards.astype(jnp.int8))
         put("board_after", res.board.astype(jnp.int8))
         put("action", action.astype(jnp.int8))
+        put("target_action", target.astype(jnp.int8))
         put("logprobs", logprobs)
         put("action_mask", invalid)
         put("value_pred", value[..., 0])

@@ -92,6 +92,9 @@ def _add_train_flags(p: argparse.ArgumentParser) -> None:
              "policy by imitation instead of PPO")
     add("--expert-depth", dest="expert_depth", type=int, default=1,
         choices=(1, 2), help="Search depth of the expert rollout")
+    add("--expert-mix", dest="expert_mix", type=float, default=0.5,
+        help="Fraction of envs the expert drives; the rest play the sampled "
+             "policy (every state still gets an expert label — DAgger)")
     # multi-host launch (SURVEY.md §5.8; net-new — the reference has no
     # distributed layer). Run the SAME command on every host with its own
     # --process-id; the mesh then spans all hosts' chips.

@@ -107,6 +107,10 @@ class TrainConfig:
     # (cross-entropy) instead of PPO. See algo/search.py, losses.imitation_loss.
     expert_iter: bool = False
     expert_depth: int = 1
+    # Fraction of envs whose moves the expert TAKES; the rest are driven by
+    # the sampled policy (all envs get expert labels — DAgger). 1.0 = pure
+    # expert states; <1 trains on the learner's own distribution too.
+    expert_mix: float = 0.5
 
     @property
     def rollout_cap(self) -> int:
@@ -198,12 +202,12 @@ def make_process_fn(cfg: TrainConfig, apply_train, labels, optimize_fn,
             aug = AUG.augment(
                 k_aug, num_slots, num_to_sample, flat_valid,
                 fb(traj.board_before), fb(traj.board_after),
-                fb(traj.action), fb(traj.action_mask), fb(traj.logprobs),
+                fb(traj.target_action), fb(traj.action_mask), fb(traj.logprobs),
                 fb(adv["advantage"]), fb(adv["G_norm"]), fb(traj.points),
             )
             dataset = U.Dataset(
                 board_before=jnp.concatenate([fb(traj.board_before), aug.board_before]),
-                action=jnp.concatenate([fb(traj.action).astype(jnp.int32), aug.action]),
+                action=jnp.concatenate([fb(traj.target_action).astype(jnp.int32), aug.action]),
                 action_mask=jnp.concatenate([fb(traj.action_mask), aug.action_mask]),
                 advantage=jnp.concatenate([fb(adv["advantage"]), aug.advantage]),
                 G_norm=jnp.concatenate([fb(adv["G_norm"]), aug.G_norm]),
@@ -214,7 +218,7 @@ def make_process_fn(cfg: TrainConfig, apply_train, labels, optimize_fn,
         else:
             dataset = U.Dataset(
                 board_before=fb(traj.board_before),
-                action=fb(traj.action).astype(jnp.int32),
+                action=fb(traj.target_action).astype(jnp.int32),
                 action_mask=fb(traj.action_mask),
                 advantage=fb(adv["advantage"]),
                 G_norm=fb(adv["G_norm"]),
@@ -482,7 +486,8 @@ def train(cfg: TrainConfig) -> dict:
                     cfg.emptiness_weight, cfg.gamma, cfg.rtg_beta)
                 return R.rollout(apply_eval, p, k, N, T,
                                  expert_depth=cfg.expert_depth,
-                                 expert_coefs=coefs)
+                                 expert_coefs=coefs,
+                                 expert_mix=cfg.expert_mix)
 
             rollout_fn = jax.jit(_roll)
         else:
