@@ -274,7 +274,9 @@ def test_augment_produces_consistent_samples(rng):
             k, 16, jnp.int32(16), jnp.asarray(valid),
             jnp.asarray(boards, jnp.int8), jnp.asarray(boards, jnp.int8),
             jnp.asarray(actions, jnp.int32), jnp.asarray(masks),
-            jnp.zeros((S, 4), jnp.float32), jnp.ones(S), jnp.ones(S),
+            jnp.zeros((S, 4), jnp.float32),
+            jax.nn.one_hot(jnp.asarray(actions), 4, dtype=jnp.float32),
+            jnp.ones(S), jnp.ones(S),
             jnp.ones(S, jnp.int32),
         )
     )(jax.random.key(0))
@@ -284,12 +286,15 @@ def test_augment_produces_consistent_samples(rng):
     m = np.asarray(out.action_mask)
     v = np.asarray(out.valid)
     assert v.sum() > 0
+    tp = np.asarray(out.target_probs)
     for i in np.nonzero(v)[0]:
         grid = [list(map(int, r)) for r in b[i]]
         # remapped action must be legal on the transformed board, and the
         # permuted mask must agree with the transformed board's legality
         assert not m[i, a[i]]
         assert m[i].tolist() == [not oracle.direction_is_legal(grid, d) for d in range(4)]
+        # the one-hot target permutes with the action
+        assert tp[i].argmax() == a[i] and tp[i].sum() == 1.0
 
 
 def test_imitation_loss_direction(rng):
@@ -324,6 +329,23 @@ def test_imitation_loss_direction(rng):
     sel = lambda p: np.asarray(jnp.take_along_axis(p, targets[:, None], axis=-1))
     assert (sel(p1) > sel(p0)).all()
 
+    # Soft targets: CE against a distribution q equals -sum q log pi, and a
+    # one-hot q reproduces the hard-label loss exactly.
+    q_hard = jax.nn.one_hot(targets, 4, dtype=jnp.float32)
+    loss_hard, _ = losses.imitation_loss(
+        logits, values, targets, mask, jnp.zeros((B,)), rtg, old_lp, w,
+        kl_strength=0.0, critic_strength=0.0, target_probs=q_hard)
+    np.testing.assert_allclose(float(loss_hard), float(loss), rtol=1e-6)
+    q_soft = jnp.where(mask, 0.0, 1.0)
+    q_soft = q_soft / q_soft.sum(-1, keepdims=True)  # uniform over legal
+    loss_soft, _ = losses.imitation_loss(
+        logits, values, targets, mask, jnp.zeros((B,)), rtg, old_lp, w,
+        kl_strength=0.0, critic_strength=0.0, target_probs=q_soft)
+    lp_masked = jax.nn.log_softmax(jnp.where(mask, -jnp.inf, logits), axis=-1)
+    want_soft = -float(jnp.mean(jnp.sum(
+        jnp.where(mask, 0.0, q_soft * lp_masked), axis=-1)))
+    np.testing.assert_allclose(float(loss_soft), want_soft, rtol=1e-5)
+
 
 def test_expert_rollout_records_expert_actions(rng):
     """rollout(expert_depth=1): every recorded target_action reproduces the
@@ -340,7 +362,8 @@ def test_expert_rollout_records_expert_actions(rng):
                              gamma=0.99)
     N = 8
     traj = R.rollout(apply_fn, params, jax.random.key(0), N, 64,
-                     expert_depth=1, expert_coefs=coefs, expert_mix=0.5)
+                     expert_depth=1, expert_coefs=coefs, expert_mix=0.5,
+                     expert_tau=0.05)
     valid = np.asarray(traj.valid)
     boards = np.asarray(traj.board_before, np.int32)
     actions = np.asarray(traj.action)
@@ -351,6 +374,13 @@ def test_expert_rollout_records_expert_actions(rng):
     # Policy-driven envs deviate from the expert at least sometimes.
     pol_v = valid[:, N // 2:]
     assert (actions[:, N // 2:][pol_v] != targets[:, N // 2:][pol_v]).any()
+    # Soft targets: valid rows sum to 1, argmax matches target_action, and
+    # illegal actions carry zero mass.
+    tp = np.asarray(traj.target_probs)
+    inv = np.asarray(traj.action_mask)
+    np.testing.assert_allclose(tp[valid].sum(-1), 1.0, rtol=1e-5)
+    assert (tp[valid].argmax(-1) == targets[valid]).all()
+    assert (tp[valid][inv[valid]] == 0.0).all()
     checked = 0
     for t in range(boards.shape[0]):
         for n in range(boards.shape[1]):

@@ -34,6 +34,7 @@ class AugmentedSteps(NamedTuple):
     action: jnp.ndarray  # (A,) int32 (remapped)
     action_mask: jnp.ndarray  # (A, 4) bool (permuted)
     logprobs: jnp.ndarray  # (A, 4) f32 (permuted)
+    target_probs: jnp.ndarray  # (A, 4) f32 (permuted learning target)
     advantage: jnp.ndarray  # (A,) f32 (reused from source)
     G_norm: jnp.ndarray  # (A,) f32 (reused from source)
     points: jnp.ndarray  # (A,) i32 (for the augmented pseudo-episode stats)
@@ -42,7 +43,7 @@ class AugmentedSteps(NamedTuple):
 
 def augment(key: jax.Array, num_slots: int, num_to_sample, flat_valid,
             board_before, board_after, action, action_mask, logprobs,
-            advantage, G_norm, points) -> AugmentedSteps:
+            target_probs, advantage, G_norm, points) -> AugmentedSteps:
     """Sample and transform augmented steps.
 
     All step inputs are flat (S, ...) arrays with (S,) ``flat_valid``;
@@ -85,6 +86,8 @@ def augment(key: jax.Array, num_slots: int, num_to_sample, flat_valid,
         action=symmetry.transform_action(jnp.take(action, src2).astype(jnp.int32), tf),
         action_mask=symmetry.transform_action_vector(jnp.take(action_mask, src2, axis=0), tf),
         logprobs=symmetry.transform_action_vector(jnp.take(logprobs, src2, axis=0), tf),
+        target_probs=symmetry.transform_action_vector(
+            jnp.take(target_probs, src2, axis=0), tf),
         advantage=jnp.take(advantage, src2),
         G_norm=jnp.take(G_norm, src2),
         points=jnp.take(points, src2),

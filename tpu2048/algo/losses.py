@@ -51,7 +51,7 @@ def smooth_l1(pred, target):
 
 def ppo_loss(logits, values, targets, action_mask, advantage, rtg,
              old_logprobs, weights, *, kl_strength, critic_strength,
-             denom=None):
+             denom=None, target_probs=None):
     """Scalar loss + stats for one minibatch.
 
     logits (B,4), values (B,1), targets (B,), action_mask (B,4) True=invalid,
@@ -60,8 +60,10 @@ def ppo_loss(logits, values, targets, action_mask, advantage, rtg,
     ``denom`` overrides the mean divisor (default: local sum of weights).
     Data-parallel callers pass the GLOBAL sample count so that psum(grads)
     equals the exact gradient of one big minibatch, and psum(stats) the exact
-    global weighted means.
+    global weighted means. ``target_probs`` is accepted for schema parity
+    with ``imitation_loss`` and ignored.
     """
+    del target_probs
     masked = jnp.where(action_mask, NEG_INF, logits)
     all_invalid = jnp.all(action_mask, axis=-1, keepdims=True)
     safe_masked = jnp.where(all_invalid, 0.0, masked)  # padding rows only
@@ -102,13 +104,22 @@ def ppo_loss(logits, values, targets, action_mask, advantage, rtg,
 
 def imitation_loss(logits, values, targets, action_mask, advantage, rtg,
                    old_logprobs, weights, *, kl_strength, critic_strength,
-                   denom=None):
+                   denom=None, target_probs=None):
     """Expert-iteration objective (net-new — no reference counterpart):
-    cross-entropy of the masked policy at the expert's action, plus the SAME
-    entropy bonus and smooth-L1 value loss as ``ppo_loss`` (identical masking
-    and clamping quirks, so the metric surface stays comparable).
+    cross-entropy of the masked policy against the expert's target
+    distribution, plus the SAME entropy bonus and smooth-L1 value loss as
+    ``ppo_loss`` (identical masking and clamping quirks, so the metric
+    surface stays comparable).
 
-        objective = log pi(a_expert | s) - critic*value_loss + beta*entropy
+        objective = sum_a q(a) log pi(a|s) - critic*value_loss + beta*entropy
+
+    ``target_probs`` q is the soft target recorded by the expert rollout
+    (softmax of expectimax scores at a temperature); with ``None`` it falls
+    back to a hard one-hot at ``targets``. Soft targets matter: 2048 is full
+    of near-tie states where the expert's argmax is a coin flip, and hard
+    labels there are high-magnitude noise — measured CE(policy, hard expert
+    labels) was ~6 nats at 55% argmax agreement, and training on them
+    collapsed the policy's solo play twice.
 
     ``advantage`` and ``old_logprobs`` are accepted (same minibatch schema as
     PPO — augmentation and the KL diagnostic reuse them) but do not enter the
@@ -120,8 +131,13 @@ def imitation_loss(logits, values, targets, action_mask, advantage, rtg,
     safe_masked = jnp.where(all_invalid, 0.0, masked)  # padding rows only
     new_policy_logprobs = jax.nn.log_softmax(safe_masked, axis=-1)
 
-    tgt = targets[:, None]
-    new_lp = jnp.take_along_axis(new_policy_logprobs, tgt, axis=-1)[:, 0]
+    if target_probs is None:
+        q = jax.nn.one_hot(targets, 4, dtype=jnp.float32)
+    else:
+        q = target_probs
+    # q is 0 on invalid actions whose logprob is -inf: mask before multiply.
+    terms = jnp.where(q > 0, q * new_policy_logprobs, 0.0)
+    new_lp = jnp.sum(terms, axis=-1)
 
     clamped = jnp.clip(masked, -LOGIT_CLAMP, LOGIT_CLAMP)
     lp2 = jax.nn.log_softmax(clamped, axis=-1)

@@ -42,6 +42,12 @@ class Trajectory(NamedTuple):
     target_action: jnp.ndarray  # (T, N) int8 — learning target (== action,
     # except expert-iteration rollouts: the expert's argmax even on envs the
     # policy drives — DAgger-style labels on the learner's own distribution)
+    target_probs: jnp.ndarray  # (T, N, 4) f32 — soft learning target: a
+    # one-hot of target_action, except expert rollouts with expert_tau > 0,
+    # where it is softmax(scores / (sigma * tau)) over legal moves. 2048 is
+    # full of near-ties (~38% of states have a top1-top2 expectimax gap
+    # < 0.01 sigma, median 0.015 sigma), so hard argmax labels are coin flips
+    # there; soft targets carry the actual decision margin.
     logprobs: jnp.ndarray  # (T, N, 4) f32 — behavior-policy log-softmax
     action_mask: jnp.ndarray  # (T, N, 4) bool, True = invalid
     value_pred: jnp.ndarray  # (T, N) f32
@@ -76,6 +82,7 @@ def _empty_traj(T: int, N: int) -> dict:
         board_after=z((T, N, 4, 4), jnp.int8),
         action=z((T, N), jnp.int8),
         target_action=z((T, N), jnp.int8),
+        target_probs=z((T, N, 4), jnp.float32),
         logprobs=z((T, N, 4), jnp.float32),
         action_mask=z((T, N, 4), jnp.bool_),
         value_pred=z((T, N), jnp.float32),
@@ -110,7 +117,7 @@ def masked_policy(logits: jnp.ndarray, invalid_mask: jnp.ndarray) -> tuple:
 def rollout(apply_fn, params, key: jax.Array, num_envs: int, max_steps: int,
             env_key: jax.Array | None = None, greedy: bool = False,
             expert_depth: int = 0, expert_coefs=None,
-            expert_mix: float = 1.0) -> Trajectory:
+            expert_mix: float = 1.0, expert_tau: float = 0.0) -> Trajectory:
     """Play ``num_envs`` games to completion (or ``max_steps``).
 
     ``apply_fn(params, inputs) -> (logits, value)`` must be the eval-mode
@@ -173,11 +180,20 @@ def rollout(apply_fn, params, key: jax.Array, num_envs: int, max_steps: int,
         if expert_depth > 0:
             from . import search as SRCH
 
+            coefs = (expert_coefs if expert_coefs is not None
+                     else SRCH.SearchCoefs())
             scores = SRCH.expectimax_scores(
-                apply_fn, params, boards, moves,
-                expert_coefs if expert_coefs is not None else SRCH.SearchCoefs(),
-                expert_depth)
+                apply_fn, params, boards, moves, coefs, expert_depth)
             target = jnp.argmax(scores, axis=-1).astype(jnp.int32)
+            if expert_tau > 0:
+                # Soft distillation target: temperature in sigma units, so a
+                # tau-sized fraction of a return-std separates e-fold odds.
+                z = scores / (coefs.sigma * expert_tau)
+                all_inv = jnp.all(invalid, axis=-1, keepdims=True)
+                tprobs = jax.nn.softmax(jnp.where(all_inv, 0.0, z), axis=-1)
+                tprobs = jnp.where(invalid, 0.0, tprobs)
+            else:
+                tprobs = jax.nn.one_hot(target, 4, dtype=jnp.float32)
             n_expert = int(round(expert_mix * N))
             if n_expert >= N:
                 action = target
@@ -188,9 +204,11 @@ def rollout(apply_fn, params, key: jax.Array, num_envs: int, max_steps: int,
         elif greedy:
             action = jnp.argmax(masked, axis=-1).astype(jnp.int32)
             target = action
+            tprobs = jax.nn.one_hot(target, 4, dtype=jnp.float32)
         else:
             action = jax.random.categorical(k_act, masked, axis=-1).astype(jnp.int32)
             target = action
+            tprobs = jax.nn.one_hot(target, 4, dtype=jnp.float32)
 
         mono_b, empt_b = heuristics.monotonicity(boards), heuristics.emptiness(boards)
 
@@ -218,6 +236,7 @@ def rollout(apply_fn, params, key: jax.Array, num_envs: int, max_steps: int,
         put("board_after", res.board.astype(jnp.int8))
         put("action", action.astype(jnp.int8))
         put("target_action", target.astype(jnp.int8))
+        put("target_probs", tprobs)
         put("logprobs", logprobs)
         put("action_mask", invalid)
         put("value_pred", value[..., 0])

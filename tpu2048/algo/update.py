@@ -39,6 +39,7 @@ class Dataset(NamedTuple):
     advantage: jnp.ndarray  # (S,) f32
     G_norm: jnp.ndarray  # (S,) f32
     logprobs: jnp.ndarray  # (S, 4) f32
+    target_probs: jnp.ndarray  # (S, 4) f32 — imitation target distribution
     valid: jnp.ndarray  # (S,) bool
 
 
@@ -86,6 +87,7 @@ def make_optimize_fn(apply_fn, labels, opt_config: opt.OptimizerConfig,
             logits, values, batch["action"], batch["mask"], batch["advantage"],
             batch["rtg"], batch["logprobs"], weights,
             kl_strength=beta, critic_strength=critic_strength, denom=denom,
+            target_probs=batch["target_probs"],
         )
         return loss, (stats, logits)
 
@@ -117,6 +119,7 @@ def make_optimize_fn(apply_fn, labels, opt_config: opt.OptimizerConfig,
                 advantage=jnp.take(dataset.advantage, perm),
                 rtg=jnp.take(dataset.G_norm, perm),
                 logprobs=jnp.take(dataset.logprobs, perm, axis=0),
+                target_probs=jnp.take(dataset.target_probs, perm, axis=0),
             )
 
             def mb_cond(c):

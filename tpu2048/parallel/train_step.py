@@ -46,7 +46,7 @@ def _traj_specs() -> R.Trajectory:
     n = P(AXIS)
     return R.Trajectory(
         board_before=tn, board_after=tn, action=tn, target_action=tn,
-        logprobs=tn,
+        target_probs=tn, logprobs=tn,
         action_mask=tn, value_pred=tn, entropy=tn, points=tn, preview=tn,
         max_created=tn, mono_before=tn, mono_after=tn, empt_before=tn,
         empt_after=tn, valid=tn, done_here=tn,
@@ -103,7 +103,8 @@ def make_sharded_train_step(mesh: Mesh, cfg, apply_eval, apply_train, labels,
             traj = R.rollout(apply_eval, params, k_roll, local_envs, T,
                              expert_depth=cfg.expert_depth,
                              expert_coefs=coefs,
-                             expert_mix=getattr(cfg, "expert_mix", 1.0))
+                             expert_mix=getattr(cfg, "expert_mix", 1.0),
+                             expert_tau=getattr(cfg, "expert_tau", 0.0))
         else:
             traj = R.rollout(apply_eval, params, k_roll, local_envs, T)
         new_params, new_opt_state, new_moments, outputs = process(

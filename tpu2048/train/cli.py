@@ -95,6 +95,9 @@ def _add_train_flags(p: argparse.ArgumentParser) -> None:
     add("--expert-mix", dest="expert_mix", type=float, default=0.5,
         help="Fraction of envs the expert drives; the rest play the sampled "
              "policy (every state still gets an expert label — DAgger)")
+    add("--expert-tau", dest="expert_tau", type=float, default=0.02,
+        help="Soft-label temperature in return-std units "
+             "(softmax(scores/(sigma*tau)); 0 = hard argmax labels)")
     # multi-host launch (SURVEY.md §5.8; net-new — the reference has no
     # distributed layer). Run the SAME command on every host with its own
     # --process-id; the mesh then spans all hosts' chips.

@@ -111,6 +111,9 @@ class TrainConfig:
     # the sampled policy (all envs get expert labels — DAgger). 1.0 = pure
     # expert states; <1 trains on the learner's own distribution too.
     expert_mix: float = 0.5
+    # Distillation temperature in RETURN-STD units for the soft expert
+    # target softmax(scores / (sigma * tau)); 0 = hard one-hot labels.
+    expert_tau: float = 0.02
 
     @property
     def rollout_cap(self) -> int:
@@ -203,6 +206,7 @@ def make_process_fn(cfg: TrainConfig, apply_train, labels, optimize_fn,
                 k_aug, num_slots, num_to_sample, flat_valid,
                 fb(traj.board_before), fb(traj.board_after),
                 fb(traj.target_action), fb(traj.action_mask), fb(traj.logprobs),
+                fb(traj.target_probs),
                 fb(adv["advantage"]), fb(adv["G_norm"]), fb(traj.points),
             )
             dataset = U.Dataset(
@@ -212,6 +216,8 @@ def make_process_fn(cfg: TrainConfig, apply_train, labels, optimize_fn,
                 advantage=jnp.concatenate([fb(adv["advantage"]), aug.advantage]),
                 G_norm=jnp.concatenate([fb(adv["G_norm"]), aug.G_norm]),
                 logprobs=jnp.concatenate([fb(traj.logprobs), aug.logprobs]),
+                target_probs=jnp.concatenate([fb(traj.target_probs),
+                                              aug.target_probs]),
                 valid=jnp.concatenate([flat_valid, aug.valid]),
             )
             aug_valid, aug_points = aug.valid, aug.points
@@ -223,6 +229,7 @@ def make_process_fn(cfg: TrainConfig, apply_train, labels, optimize_fn,
                 advantage=fb(adv["advantage"]),
                 G_norm=fb(adv["G_norm"]),
                 logprobs=fb(traj.logprobs),
+                target_probs=fb(traj.target_probs),
                 valid=flat_valid,
             )
             aug_valid = jnp.zeros((1,), jnp.bool_)
@@ -487,7 +494,8 @@ def train(cfg: TrainConfig) -> dict:
                 return R.rollout(apply_eval, p, k, N, T,
                                  expert_depth=cfg.expert_depth,
                                  expert_coefs=coefs,
-                                 expert_mix=cfg.expert_mix)
+                                 expert_mix=cfg.expert_mix,
+                                 expert_tau=cfg.expert_tau)
 
             rollout_fn = jax.jit(_roll)
         else:
