@@ -336,14 +336,17 @@ def test_imitation_loss_direction(rng):
         logits, values, targets, mask, jnp.zeros((B,)), rtg, old_lp, w,
         kl_strength=0.0, critic_strength=0.0, target_probs=q_hard)
     np.testing.assert_allclose(float(loss_hard), float(loss), rtol=1e-6)
-    q_soft = jnp.where(mask, 0.0, 1.0)
-    q_soft = q_soft / q_soft.sum(-1, keepdims=True)  # uniform over legal
+    q_soft = jnp.asarray(np.abs(rng.normal(size=(B, 4))).astype(np.float32))
+    q_soft = jnp.where(mask, 0.0, q_soft)
+    q_soft = q_soft / q_soft.sum(-1, keepdims=True)
     loss_soft, _ = losses.imitation_loss(
         logits, values, targets, mask, jnp.zeros((B,)), rtg, old_lp, w,
         kl_strength=0.0, critic_strength=0.0, target_probs=q_soft)
     lp_masked = jax.nn.log_softmax(jnp.where(mask, -jnp.inf, logits), axis=-1)
-    want_soft = -float(jnp.mean(jnp.sum(
-        jnp.where(mask, 0.0, q_soft * lp_masked), axis=-1)))
+    ce_rows = jnp.sum(jnp.where(mask, 0.0, q_soft * lp_masked), axis=-1)
+    srt = jnp.sort(q_soft, axis=-1)
+    gap = srt[:, -1] - srt[:, -2]  # decisiveness weighting (losses.py)
+    want_soft = -float(jnp.mean(gap * ce_rows))
     np.testing.assert_allclose(float(loss_soft), want_soft, rtol=1e-5)
 
 
@@ -392,3 +395,34 @@ def test_expert_rollout_records_expert_actions(rng):
             assert int(np.argmax(np.asarray(s)[0])) == int(targets[t, n])
             checked += 1
     assert checked >= 20
+
+
+def test_imitation_gap_weighting(rng):
+    """Soft-target CE is scaled by the target's top1-top2 gap: a uniform
+    (pure-tie) target contributes zero policy gradient; a one-hot target is
+    unchanged (gap = 1)."""
+    B = 8
+    logits = jnp.asarray(rng.normal(size=(B, 4)), jnp.float32)
+    values = jnp.zeros((B, 1), jnp.float32)
+    mask = jnp.zeros((B, 4), jnp.bool_)
+    targets = jnp.asarray(rng.integers(0, 4, (B,)), jnp.int32)
+    rtg = jnp.zeros((B,), jnp.float32)
+    old_lp = jnp.zeros((B, 4), jnp.float32)
+    w = jnp.ones((B,), jnp.float32)
+
+    def grad_for(q):
+        f = lambda z: losses.imitation_loss(
+            z, values, targets, mask, jnp.zeros((B,)), rtg, old_lp, w,
+            kl_strength=0.0, critic_strength=0.0, target_probs=q)[0]
+        return jax.grad(f)(logits)
+
+    uniform = jnp.full((B, 4), 0.25, jnp.float32)
+    np.testing.assert_allclose(np.asarray(grad_for(uniform)), 0.0, atol=1e-7)
+    onehot = jax.nn.one_hot(targets, 4, dtype=jnp.float32)
+    g_soft_path = grad_for(onehot)
+    f_hard = lambda z: losses.imitation_loss(
+        z, values, targets, mask, jnp.zeros((B,)), rtg, old_lp, w,
+        kl_strength=0.0, critic_strength=0.0)[0]
+    np.testing.assert_allclose(np.asarray(g_soft_path),
+                               np.asarray(jax.grad(f_hard)(logits)),
+                               rtol=1e-5, atol=1e-7)

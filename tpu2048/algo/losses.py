@@ -138,6 +138,17 @@ def imitation_loss(logits, values, targets, action_mask, advantage, rtg,
     # q is 0 on invalid actions whose logprob is -inf: mask before multiply.
     terms = jnp.where(q > 0, q * new_policy_logprobs, 0.0)
     new_lp = jnp.sum(terms, axis=-1)
+    # Decisiveness weighting: scale each sample's CE by q's top1-top2 gap
+    # (identity for one-hot targets). Most 2048 states are near-ties whose
+    # soft target is near-uniform; unweighted CE is dominated by them, pulls
+    # the policy toward the high-entropy MARGINAL choice distribution, and
+    # measurably collapses solo play (the tie states outnumber and outgrade
+    # the decisive ones, where the expert's preference actually matters).
+    # Ties contribute ~0 gradient — the policy keeps its own priors there —
+    # while decisive states get full-strength supervision.
+    top2 = jax.lax.top_k(q, 2)[0]
+    gap = jax.lax.stop_gradient(top2[:, 0] - top2[:, 1])
+    new_lp = gap * new_lp
 
     clamped = jnp.clip(masked, -LOGIT_CLAMP, LOGIT_CLAMP)
     lp2 = jax.nn.log_softmax(clamped, axis=-1)
