@@ -18,6 +18,8 @@ def _make_dataset(rng, S_cap, S_valid):
     lp = np.log(np.full((S_cap, 4), 1 / 3))
     lp[:, 3] = -np.inf
     valid = np.arange(S_cap) < S_valid
+    tp = np.full((S_cap, 4), 1 / 3)
+    tp[:, 3] = 0.0  # imitation target: uniform over the valid actions
     return U.Dataset(
         board_before=jnp.asarray(boards, jnp.int8),
         action=jnp.asarray(rng.integers(0, 3, S_cap), jnp.int32),
@@ -25,6 +27,7 @@ def _make_dataset(rng, S_cap, S_valid):
         advantage=jnp.asarray(rng.normal(size=S_cap), jnp.float32),
         G_norm=jnp.asarray(rng.normal(size=S_cap), jnp.float32),
         logprobs=jnp.asarray(lp, jnp.float32),
+        target_probs=jnp.asarray(tp, jnp.float32),
         valid=jnp.asarray(valid),
     )
 
