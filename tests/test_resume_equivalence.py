@@ -38,3 +38,22 @@ def test_resume_reproduces_uninterrupted_run(tmp_path):
         float(out_full["moments"].mu), float(out_resumed["moments"].mu), atol=1e-6
     )
     assert out_full["highest_score"] == out_resumed["highest_score"]
+
+
+def test_resume_past_end_does_not_clobber_checkpoint(tmp_path):
+    """A resume whose start_step is already >= cfg.steps runs zero steps and
+    must leave the checkpoint untouched. The unguarded final save used to
+    overwrite train_step with cfg.steps-1, resetting the RTG bias correction
+    (1 - beta^step) and inflating warm-started moments into a negative
+    variance on the NEXT resume."""
+    import json
+
+    d = tmp_path / "run"
+    train(_cfg(d, steps=4, checkpoint_freq=None))
+    manifest = json.load(open(d / "train_state.json"))
+    assert manifest["train_step"] == 3
+
+    # Resume with a target far below the checkpointed step: no-op required.
+    train(_cfg(d, steps=2, resume=True))
+    manifest = json.load(open(d / "train_state.json"))
+    assert manifest["train_step"] == 3

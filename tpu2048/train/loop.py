@@ -674,7 +674,12 @@ def train(cfg: TrainConfig) -> dict:
             f"\nTrained {steps_run} steps, {env_steps_total} env steps in "
             f"{elapsed:.1f}s ({env_steps_total / max(elapsed, 1e-9):.0f} env steps/s)"
         )
-    save_train_state(cfg.steps - 1)
+        # Guarded by steps_run: a resume whose start_step is already past
+        # cfg.steps must NOT overwrite the (further-along) checkpoint with
+        # train_step=cfg.steps-1 — doing so resets the step counter that
+        # drives the RTG bias correction (1 - beta^step), which near step 0
+        # inflates warm-started moments into a negative variance.
+        save_train_state(cfg.steps - 1)
 
     if cfg.export_demo and main_process:
         from . import export as EXP
