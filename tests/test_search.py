@@ -171,3 +171,79 @@ def test_expectimax_depth2_matches_brute_force(model):
     for i in range(boards.shape[0]):
         want = _brute_force_depth2(apply_fn, params, boards[i], COEFS)
         np.testing.assert_allclose(got[i], want, rtol=1e-4, atol=1e-5)
+
+
+def test_pruned_state_values_bound_and_agreement(model):
+    """Pruned state value = max over the deep scores of the shallow top-k
+    actions: always <= the exact value, and EQUAL whenever the exact argmax
+    action is inside the shallow top-k."""
+    params, apply_fn = model
+    rng = np.random.default_rng(11)
+    boards = jnp.asarray(rng.integers(0, 6, (6, 4, 4)), jnp.int32)
+    k = 2
+
+    exact_v, alive = SRCH.state_values(apply_fn, params, boards, COEFS, 2)
+    pruned_v, alive_p = SRCH.state_values(apply_fn, params, boards, COEFS, 2,
+                                          prune_k=k)
+    np.testing.assert_array_equal(np.asarray(alive), np.asarray(alive_p))
+    exact_v, pruned_v = np.asarray(exact_v), np.asarray(pruned_v)
+    assert (pruned_v <= exact_v + 1e-4).all()
+
+    deep = np.asarray(SRCH.expectimax_scores(apply_fn, params, boards,
+                                             coefs=COEFS, depth=2))
+    shallow = np.asarray(SRCH.expectimax_scores(apply_fn, params, boards,
+                                                coefs=COEFS, depth=1))
+    hit = 0
+    for i in range(boards.shape[0]):
+        if not alive[i]:
+            continue
+        topk = np.argsort(-shallow[i])[:k]
+        if int(np.argmax(deep[i])) in topk:
+            np.testing.assert_allclose(pruned_v[i], exact_v[i],
+                                       rtol=1e-4, atol=1e-5)
+            hit += 1
+    assert hit > 0  # the agreement branch was actually exercised
+
+
+def test_depth3_root_is_chance_average_of_pruned_depth2(model):
+    """Depth-3 pruned root scores == points*pts + gamma * E_spawn over live
+    children of (phi(merged) + pruned depth-2 state value) — the recursion
+    plumbing, verified against a plain-Python chance-node enumeration whose
+    children are valued by state_values itself."""
+    params, apply_fn = model
+    rng = np.random.default_rng(23)
+    board = jnp.asarray(rng.integers(0, 7, (4, 4)), jnp.int32)
+    k = 2
+
+    got = np.asarray(SRCH.expectimax_scores(
+        apply_fn, params, board[None], coefs=COEFS, depth=3, prune_k=k))[0]
+
+    moves = engine.all_moves(board[None])
+    want = np.full(4, -np.inf)
+    for d in range(4):
+        if not bool(moves.legal[d, 0]):
+            continue
+        merged = np.asarray(moves.boards[d, 0])
+        phi_m = _phi(merged, COEFS)
+        empties = [(r, c) for r in range(4) for c in range(4)
+                   if merged[r, c] == 0]
+        ev = 0.0
+        for (r, c) in empties:
+            for exp, pr in ((1, 0.9), (2, 0.1)):
+                child = merged.copy()
+                child[r, c] = exp
+                sv, al = SRCH.state_values(
+                    apply_fn, params, jnp.asarray(child, jnp.int32)[None],
+                    COEFS, 2, prune_k=k)
+                contrib = (phi_m + float(sv[0])) if bool(al[0]) else 0.0
+                ev += pr / len(empties) * contrib
+        want[d] = COEFS.points * float(moves.scores[d, 0]) + COEFS.gamma * ev
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_search_rollout_depth3_pruned_completes(model):
+    params, apply_fn = model
+    pts, final, nm = SRCH.search_rollout(
+        apply_fn, params, 1, 6, jax.random.key(9), coefs=COEFS, depth=3,
+        prune_k=2)
+    assert int(nm[0]) > 0 and int(pts[0]) >= 0

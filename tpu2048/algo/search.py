@@ -76,10 +76,66 @@ def potential(boards: jnp.ndarray, coefs: SearchCoefs) -> jnp.ndarray:
     return phi + coefs.empt * H.emptiness(boards).astype(jnp.float32)
 
 
+def _chance_ev(apply_fn, params, merged: jnp.ndarray, coefs: SearchCoefs,
+               depth: int, prune_k: int) -> jnp.ndarray:
+    """(M,) expected shaped child value of each merged (post-move, pre-spawn)
+    board over the exact 32-way spawn distribution:
+
+        E_spawn[ 1[child alive] * (phi(merged) + SV(child)) ]
+
+    ``depth`` counts the REMAINING max-node plies below the chance node:
+    0 values live children with the denormalized critic; >=1 values them by
+    their own ``depth``-ply expectimax state value, evaluated with a
+    sequential ``lax.map`` over the 32 spawn slots so peak memory stays at
+    one ``depth``-ply problem of size M."""
+    M = merged.shape[0]
+    flat = merged.reshape(M, NUM_CELLS)
+    empty = flat == 0  # (M, 16)
+    n_empty = jnp.maximum(empty.sum(-1), 1)  # (M,)
+
+    # Candidate children: set cell c to exponent e on each merged board.
+    cell_hot = jnp.eye(NUM_CELLS, dtype=flat.dtype)  # (16, 16)
+    cand = flat[:, None, None, :] + \
+        cell_hot[None, :, None, :] * jnp.asarray([1, 2], flat.dtype)[None, None, :, None]
+    # cand: (M, 16 cells, 2 exps, 16) — only valid where the cell was empty.
+    weights = jnp.where(
+        empty[:, :, None],
+        jnp.asarray([0.9, 0.1])[None, None, :] / n_empty[:, None, None],
+        0.0,
+    )  # (M, 16, 2) sums to 1 over (cells, exps) for each merged board
+
+    if depth <= 0:
+        # A spawn child with no legal move is game over: its future return is
+        # exactly 0. The critic never trains on dead boards (they are never
+        # model inputs), so its output there is unconstrained — without this
+        # mask, 1-ply search walks into death traps on optimistic garbage.
+        child_boards = cand.reshape(M * NUM_SPAWNS, 4, 4)
+        alive = engine.all_moves(child_boards).any_legal
+        alive = alive.reshape(M, NUM_SPAWNS)
+        _, values = apply_fn(params, encode_boards(child_boards))
+        sv = coefs.sigma * values.reshape(M, NUM_SPAWNS) + coefs.mu
+    else:
+        # (M, 32, 4, 4) -> (32, M, 4, 4): one sequential sweep over the
+        # chance dimension, each slot a batched subproblem over all M
+        # children at once.
+        child = jnp.moveaxis(cand.reshape(M, NUM_SPAWNS, 4, 4), 1, 0)
+        sv, alive = jax.lax.map(
+            lambda bs: state_values(apply_fn, params, bs, coefs, depth,
+                                    prune_k),
+            child)  # (32, M) each
+        sv, alive = sv.T, alive.T  # (M, 32)
+
+    # Immediate shaped after-potential (merged board, pre-spawn) + the
+    # child's state value, both gated on the child being alive.
+    phi_m = potential(merged, coefs)  # (M,)
+    contrib = jnp.where(alive, phi_m[:, None] + sv, 0.0)  # (M, 32)
+    return (weights.reshape(M, NUM_SPAWNS) * contrib).sum(-1)
+
+
 def expectimax_scores(apply_fn, params, boards: jnp.ndarray,
                       moves: engine.MoveSet | None = None,
                       coefs: SearchCoefs = SearchCoefs(),
-                      depth: int = 1) -> jnp.ndarray:
+                      depth: int = 1, prune_k: int = 0) -> jnp.ndarray:
     """(B, 4) action scores in trained-reward units (up to the action-
     independent ``-phi(boards)``); illegal actions are -inf.
 
@@ -89,58 +145,27 @@ def expectimax_scores(apply_fn, params, boards: jnp.ndarray,
 
     ``depth`` is the number of max-node plies. depth=1 values every live
     spawn child with the denormalized critic; depth=2 values it by ITS exact
-    1-ply expectimax state value (4x32x4x32 leaves per board). Dead children
-    contribute 0 — both the shaped reward's after-potential and the future
-    return vanish at game over. The chance dimension of the depth-2 tree is
-    evaluated with a sequential ``lax.map`` over the 32 spawn slots so peak
-    memory stays at one 1-ply problem of size 4B.
+    1-ply expectimax state value (4x32x4x32 leaves per board); depth=d
+    recurses d-1 more times. Dead children contribute 0 — both the shaped
+    reward's after-potential and the future return vanish at game over.
+
+    ``prune_k`` (0 = off) bounds the branching of the INNER max nodes: every
+    recursive ``state_values`` call first scores its 4 actions with the
+    cheap 1-ply search, then expands only the top-``prune_k`` of them at
+    full remaining depth (the pruned value is the max over those deep
+    scores). The exact tree grows (4*32)^(depth-1); with k=2 each inner max
+    node halves its deep fan-out, which cuts depth-3 cost ~2x with a bias
+    only when the 1-ply ranking misorders the true top action out of the
+    top k. The ROOT scores returned here are never pruned — all 4 actions
+    get full-depth values (the caller needs them all to pick a move).
     """
     if moves is None:
         moves = engine.all_moves(boards)
     merged = moves.boards  # (4, B, 4, 4)
     D, B = merged.shape[0], merged.shape[1]
 
-    flat = merged.reshape(D, B, NUM_CELLS)
-    empty = flat == 0  # (4, B, 16)
-    n_empty = jnp.maximum(empty.sum(-1), 1)  # (4, B)
-
-    # Candidate children: set cell c to exponent e on each merged board.
-    cell_hot = jnp.eye(NUM_CELLS, dtype=flat.dtype)  # (16, 16)
-    cand = flat[:, :, None, None, :] + \
-        cell_hot[None, None, :, None, :] * jnp.asarray([1, 2], flat.dtype)[None, None, None, :, None]
-    # cand: (4, B, 16 cells, 2 exps, 16) — only valid where the cell was empty.
-    weights = jnp.where(
-        empty[:, :, :, None],
-        jnp.asarray([0.9, 0.1])[None, None, None, :] / n_empty[:, :, None, None],
-        0.0,
-    )  # (4, B, 16, 2) sums to 1 over (cells, exps) for each (dir, board)
-
-    child_boards = cand.reshape(D * B * NUM_SPAWNS, 4, 4)
-    if depth <= 1:
-        # A spawn child with no legal move is game over: its future return is
-        # exactly 0. The critic never trains on dead boards (they are never
-        # model inputs), so its output there is unconstrained — without this
-        # mask, 1-ply search walks into death traps on optimistic garbage.
-        alive = engine.all_moves(child_boards).any_legal
-        alive = alive.reshape(D * B, NUM_SPAWNS)
-        _, values = apply_fn(params, encode_boards(child_boards))
-        sv = coefs.sigma * values.reshape(D * B, NUM_SPAWNS) + coefs.mu
-    else:
-        # (D*B, 32, 4, 4) -> (32, D*B, 4, 4): one sequential sweep over the
-        # chance dimension, each slot a batched (depth-1) subproblem over all
-        # D*B children at once.
-        child = jnp.moveaxis(cand.reshape(D * B, NUM_SPAWNS, 4, 4), 1, 0)
-        sv, alive = jax.lax.map(
-            lambda bs: state_values(apply_fn, params, bs, coefs, depth - 1),
-            child)  # (32, D*B) each
-        sv, alive = sv.T, alive.T  # (D*B, 32)
-
-    # Immediate shaped after-potential (merged board, pre-spawn) + the
-    # child's state value, both gated on the child being alive.
-    phi_m = potential(merged.reshape(D * B, 4, 4), coefs)  # (D*B,)
-    contrib = jnp.where(alive, phi_m[:, None] + sv, 0.0)  # (D*B, 32)
-    ev = (weights.reshape(D * B, NUM_SPAWNS) * contrib).sum(-1).reshape(D, B)
-
+    ev = _chance_ev(apply_fn, params, merged.reshape(D * B, 4, 4), coefs,
+                    depth - 1, prune_k).reshape(D, B)
     score = coefs.points * moves.scores.astype(jnp.float32) + coefs.gamma * ev
     score = jnp.where(moves.legal, score, -jnp.inf)
     return jnp.moveaxis(score, 0, -1)  # (B, 4)
@@ -148,23 +173,46 @@ def expectimax_scores(apply_fn, params, boards: jnp.ndarray,
 
 def state_values(apply_fn, params, boards: jnp.ndarray,
                  coefs: SearchCoefs = SearchCoefs(),
-                 depth: int = 1) -> tuple:
+                 depth: int = 1, prune_k: int = 0) -> tuple:
     """((B,), (B,) bool): exact shaped state value of each board by
     ``depth``-ply expectimax — ``max_a score(a) - phi(board)``, re-adding the
     constant ``expectimax_scores`` drops so values are comparable ACROSS
     boards — and the aliveness mask. Terminal boards are worth exactly 0
-    (no legal action => the game is over, the future return is 0)."""
+    (no legal action => the game is over, the future return is 0).
+
+    ``prune_k`` in (1..3) with ``depth >= 2``: rank actions by the 1-ply
+    search and expand only the top-k at full depth (see expectimax_scores).
+    """
     moves = engine.all_moves(boards)
-    s = expectimax_scores(apply_fn, params, boards, moves, coefs, depth)
-    v = jnp.max(s, axis=-1) - potential(boards, coefs)
+    B = boards.shape[0]
+    if depth >= 2 and 0 < prune_k < 4:
+        shallow = expectimax_scores(apply_fn, params, boards, moves, coefs, 1)
+        _, top_idx = jax.lax.top_k(shallow, prune_k)  # (B, k)
+        sel = top_idx.T  # (k, B)
+        bidx = jnp.arange(B)[None, :]
+        sel_merged = moves.boards[sel, bidx]  # (k, B, 4, 4)
+        sel_pts = moves.scores[sel, bidx].astype(jnp.float32)  # (k, B)
+        sel_legal = moves.legal[sel, bidx]  # (k, B)
+        ev = _chance_ev(apply_fn, params,
+                        sel_merged.reshape(prune_k * B, 4, 4), coefs,
+                        depth - 1, prune_k).reshape(prune_k, B)
+        s = coefs.points * sel_pts + coefs.gamma * ev
+        s = jnp.where(sel_legal, s, -jnp.inf)  # (k, B)
+        v = jnp.max(s, axis=0) - potential(boards, coefs)
+    else:
+        s = expectimax_scores(apply_fn, params, boards, moves, coefs, depth,
+                              prune_k)
+        v = jnp.max(s, axis=-1) - potential(boards, coefs)
     return jnp.where(moves.any_legal, v, 0.0), moves.any_legal
 
 
 @partial(jax.jit,
-         static_argnames=("apply_fn", "num_envs", "max_steps", "depth"))
+         static_argnames=("apply_fn", "num_envs", "max_steps", "depth",
+                          "prune_k"))
 def search_rollout(apply_fn, params, num_envs: int, max_steps: int,
                    env_key: jax.Array,
-                   coefs: SearchCoefs = SearchCoefs(), depth: int = 1):
+                   coefs: SearchCoefs = SearchCoefs(), depth: int = 1,
+                   prune_k: int = 0):
     """Play ``num_envs`` games to completion with expectimax action selection
     (deterministic given the env stream). Returns (total_points (N,),
     final_boards (N,4,4), num_moves (N,))."""
@@ -179,7 +227,7 @@ def search_rollout(apply_fn, params, num_envs: int, max_steps: int,
         key, k_spawn = jax.random.split(key)
         moves = engine.all_moves(boards)
         scores = expectimax_scores(apply_fn, params, boards, moves,
-                                   coefs, depth)
+                                   coefs, depth, prune_k)
         action = jnp.argmax(scores, axis=-1)
         res = engine.step(boards, action, k_spawn, moves=moves)
         alive = c["alive"] & moves.any_legal

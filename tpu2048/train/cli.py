@@ -148,7 +148,8 @@ def cmd_evaluate(args) -> None:
 
     evaluate_checkpoint(args.model_path, games=args.games, seed=args.seed,
                         greedy=args.greedy, env_seed=args.env_seed,
-                        search=args.search, search_depth=args.search_depth)
+                        search=args.search, search_depth=args.search_depth,
+                        search_prune=args.search_prune)
 
 
 def cmd_export_demo(args) -> None:
@@ -264,9 +265,14 @@ def main(argv=None) -> None:
                         help="Expectimax action selection (exact chance "
                              "nodes, critic leaves) instead of the raw policy")
     p_eval.add_argument("--search-depth", dest="search_depth", type=int,
-                        default=1, choices=(1, 2),
+                        default=1, choices=(1, 2, 3),
                         help="Max-node plies for --search (2 = exact 2-ply "
-                             "tree, 4x32x4x32 leaves per board)")
+                             "tree, 4x32x4x32 leaves per board; 3 needs "
+                             "--search-prune to be tractable)")
+    p_eval.add_argument("--search-prune", dest="search_prune", type=int,
+                        default=0, choices=(0, 1, 2, 3),
+                        help="Expand only the top-k actions (ranked by 1-ply "
+                             "score) at inner max nodes; 0 = exact tree")
     p_eval.set_defaults(fn=cmd_evaluate)
 
     p_exp = sub.add_parser("export-demo", help="Export demo assets for the web UI")

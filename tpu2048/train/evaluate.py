@@ -124,18 +124,21 @@ def load_search_coefs(path):
 
 def run_search_eval(params, model_cfg, model_type, games: int,
                     max_steps: int = 4096, env_seed: int = 12345,
-                    coefs=None, depth: int = 1) -> dict:
+                    coefs=None, depth: int = 1, prune_k: int = 0) -> dict:
     """Expectimax (exact chance nodes, critic leaves) evaluation —
     deterministic given the env stream.
 
     Games run in bounded chunks: the depth-2 tree materializes
     4*N*32*4*32 ~ 16k*N critic leaves per move, which OOM-crashes the TPU
     worker around N~256 — chunking caps peak memory with no effect on the
-    result (each chunk gets its own env stream, folded from ``env_seed``)."""
+    result (each chunk gets its own env stream, folded from ``env_seed``).
+
+    ``prune_k`` bounds the deep fan-out of inner max nodes (top-k by 1-ply
+    score, algo/search.py) — the lever that makes depth>=3 tractable."""
     from ..algo import search as SRCH
 
     apply_eval = _apply_fn(model_cfg, model_type)
-    chunk = min(games, 256 if depth <= 1 else 32)
+    chunk = min(games, 256 if depth <= 1 else (32 if depth == 2 else 16))
     scores_l, tiles_l = [], []
     base = jax.random.key(env_seed)
     for i in range(0, games, chunk):
@@ -144,7 +147,7 @@ def run_search_eval(params, model_cfg, model_type, games: int,
             apply_eval, params, n, max_steps,
             jax.random.fold_in(base, i // chunk),
             coefs=coefs if coefs is not None else SRCH.SearchCoefs(),
-            depth=depth)
+            depth=depth, prune_k=prune_k)
         scores_l.append(np.asarray(pts))
         tiles_l.append(np.asarray(engine.max_tile_value(final.astype(jnp.int32))))
     scores = np.concatenate(scores_l)
@@ -162,18 +165,21 @@ def run_search_eval(params, model_cfg, model_type, games: int,
 
 def evaluate_checkpoint(path, games: int = 100, seed: int = 0,
                         greedy: bool = False, env_seed: int = 12345,
-                        search: bool = False, search_depth: int = 1) -> dict:
+                        search: bool = False, search_depth: int = 1,
+                        search_prune: int = 0) -> dict:
     params, mc, mt = load_model_checkpoint(path)
     print(f"Evaluating model from: {path}")
     print(f"Running {games} evaluation games...")
     if search:
         coefs = load_search_coefs(path)
-        print(f"Expectimax search eval (depth={search_depth}, "
+        prune_note = (f", prune_k={search_prune}" if search_prune else "")
+        print(f"Expectimax search eval (depth={search_depth}{prune_note}, "
               f"points={coefs.points:.3g}, mono={coefs.mono:.3g}, "
               f"empt={coefs.empt:.3g}, sigma={coefs.sigma:.3g}, "
               f"mu={coefs.mu:.3g}, gamma={coefs.gamma:.3g})")
         m = run_search_eval(params, mc, mt, games, env_seed=env_seed,
-                            coefs=coefs, depth=search_depth)
+                            coefs=coefs, depth=search_depth,
+                            prune_k=search_prune)
     else:
         m = run_eval(params, mc, mt, games, seed=seed, greedy=greedy,
                      env_seed=env_seed)
