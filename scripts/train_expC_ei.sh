@@ -15,7 +15,18 @@
 #     reaches by itself, and the degrading critic dragged the expert down
 #     with it (24.9k -> 15.2k). Half the envs now play the sampled policy,
 #     and every visited state gets the expert's label;
+#   * sharp targets + decoupled critic (attempt 3): attempt 2 (soft-CE
+#     targets at tau 0.02, gap-weighted, mix 0.5, shared trunk) collapsed
+#     solo play within 24 steps — sampled eval 8,848 -> 1,253, greedy
+#     7,350 -> 3,542 (measured offline on the step-125 train_state). Two
+#     legs: the soft target's own entropy is high (and grows as the live
+#     sigma widens under mixed expert/policy returns), so the faithful
+#     imitator samples badly; and critic-weight-1.0 gradients through the
+#     SHARED trunk scrambled the policy head (greedy leg). Now the CE pulls
+#     one-hot(argmax) gated by the soft gap (--expert-sharp, default), and
+#     --decouple-critic keeps value gradients out of the trunk;
 #   * critic 1.0: the value fit is the engine of the cycle (CE is easy);
+#     safe at 1.0 now that the critic head is trunk-decoupled;
 #   * fixed small entropy bonus (imitating a deterministic expert should
 #     sharpen the policy; no adaptive annealing needed);
 #   * rtg-beta 0.9: moments must re-calibrate fast, returns jump ~3x —
@@ -31,6 +42,6 @@ python train.py train --steps "${1:-700}" --episodes 32 --batch-size 4096 \
   --entropy 0.001 \
   --points 0.10 --mono 1.0 --critic 1.0 --rtg-beta 0.9 \
   --warmup-steps 5 --upsample-ratio 0.25 -t mlp --no-kl-diagnostic \
-  --expert-iter --expert-depth 2 --expert-mix 0.5 \
+  --expert-iter --expert-depth 2 --expert-mix 0.5 --decouple-critic \
   --print-freq 100 --eval-freq 25 --eval-games 256 --checkpoint-freq 25 \
   --checkpoint-dir checkpoints_ei --log-dir logs_ei --scan-cap 2560 --resume

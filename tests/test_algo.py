@@ -426,3 +426,47 @@ def test_imitation_gap_weighting(rng):
     np.testing.assert_allclose(np.asarray(g_soft_path),
                                np.asarray(jax.grad(f_hard)(logits)),
                                rtol=1e-5, atol=1e-7)
+
+
+def test_imitation_sharp_targets(rng):
+    """sharp=True: the CE pulls toward one-hot(argmax q) while the
+    decisiveness weight still comes from the SOFT q — equal to the soft CE
+    for one-hot targets, and for a soft q equal to gap * NLL(argmax q)."""
+    B = 8
+    logits = jnp.asarray(rng.normal(size=(B, 4)), jnp.float32)
+    values = jnp.zeros((B, 1), jnp.float32)
+    mask = jnp.zeros((B, 4), jnp.bool_)
+    targets = jnp.asarray(rng.integers(0, 4, (B,)), jnp.int32)
+    rtg = jnp.zeros((B,), jnp.float32)
+    old_lp = jnp.zeros((B, 4), jnp.float32)
+    w = jnp.ones((B,), jnp.float32)
+
+    def loss_for(q, sharp):
+        return losses.imitation_loss(
+            logits, values, targets, mask, jnp.zeros((B,)), rtg, old_lp, w,
+            kl_strength=0.0, critic_strength=0.0, target_probs=q,
+            sharp=sharp)[0]
+
+    # Soft q with a known argmax and gap.
+    q = jnp.asarray(np.abs(rng.normal(size=(B, 4))).astype(np.float32)) + 0.1
+    q = q / q.sum(-1, keepdims=True)
+    lp = jax.nn.log_softmax(logits, axis=-1)
+    top2 = np.sort(np.asarray(q), axis=-1)
+    gap = top2[:, -1] - top2[:, -2]
+    nll_argmax = -np.take_along_axis(
+        np.asarray(lp), np.asarray(q.argmax(-1))[:, None], axis=-1)[:, 0]
+    want = float(np.mean(gap * nll_argmax))
+    np.testing.assert_allclose(float(loss_for(q, True)), want, rtol=1e-5)
+
+    # One-hot q: sharp and soft agree exactly.
+    onehot = jax.nn.one_hot(targets, 4, dtype=jnp.float32)
+    np.testing.assert_allclose(float(loss_for(onehot, True)),
+                               float(loss_for(onehot, False)), rtol=1e-6)
+
+    # A pure-tie q still contributes zero gradient in sharp mode.
+    uniform = jnp.full((B, 4), 0.25, jnp.float32)
+    g = jax.grad(lambda z: losses.imitation_loss(
+        z, values, targets, mask, jnp.zeros((B,)), rtg, old_lp, w,
+        kl_strength=0.0, critic_strength=0.0, target_probs=uniform,
+        sharp=True)[0])(logits)
+    np.testing.assert_allclose(np.asarray(g), 0.0, atol=1e-7)

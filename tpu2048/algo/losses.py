@@ -104,22 +104,32 @@ def ppo_loss(logits, values, targets, action_mask, advantage, rtg,
 
 def imitation_loss(logits, values, targets, action_mask, advantage, rtg,
                    old_logprobs, weights, *, kl_strength, critic_strength,
-                   denom=None, target_probs=None):
+                   denom=None, target_probs=None, sharp=False):
     """Expert-iteration objective (net-new — no reference counterpart):
     cross-entropy of the masked policy against the expert's target
     distribution, plus the SAME entropy bonus and smooth-L1 value loss as
     ``ppo_loss`` (identical masking and clamping quirks, so the metric
     surface stays comparable).
 
-        objective = sum_a q(a) log pi(a|s) - critic*value_loss + beta*entropy
+        objective = gap * sum_a q(a) log pi(a|s) - critic*value_loss + beta*entropy
 
     ``target_probs`` q is the soft target recorded by the expert rollout
     (softmax of expectimax scores at a temperature); with ``None`` it falls
-    back to a hard one-hot at ``targets``. Soft targets matter: 2048 is full
-    of near-tie states where the expert's argmax is a coin flip, and hard
-    labels there are high-magnitude noise — measured CE(policy, hard expert
-    labels) was ~6 nats at 55% argmax agreement, and training on them
-    collapsed the policy's solo play twice.
+    back to a hard one-hot at ``targets``. The soft shape matters because
+    2048 is full of near-tie states where the expert's argmax is a coin
+    flip: measured CE(policy, hard expert labels) was ~6 nats at 55% argmax
+    agreement, and training on unweighted hard labels collapsed the
+    policy's solo play twice.
+
+    ``sharp=True`` keeps q only for the DECISIVENESS gap (below) and takes
+    the CE against one-hot(argmax q) instead of q itself. Measured on the
+    depth-2 expert at tau=0.02: distilling the soft q verbatim drove solo
+    SAMPLED play to ~1/7 of the warm-start score in 24 steps — the soft
+    target's own entropy is high (the live sigma also grows under mixed
+    expert/policy returns, flattening it further), so the faithful imitator
+    becomes a high-entropy sampler. Sharp targets pull decisive states
+    toward the expert's choice at full strength while the gap weight still
+    zeroes the ties.
 
     ``advantage`` and ``old_logprobs`` are accepted (same minibatch schema as
     PPO — augmentation and the KL diagnostic reuse them) but do not enter the
@@ -135,8 +145,10 @@ def imitation_loss(logits, values, targets, action_mask, advantage, rtg,
         q = jax.nn.one_hot(targets, 4, dtype=jnp.float32)
     else:
         q = target_probs
-    # q is 0 on invalid actions whose logprob is -inf: mask before multiply.
-    terms = jnp.where(q > 0, q * new_policy_logprobs, 0.0)
+    q_ce = (jax.nn.one_hot(jnp.argmax(q, axis=-1), 4, dtype=jnp.float32)
+            if sharp else q)
+    # q(_ce) is 0 on invalid actions whose logprob is -inf: mask before multiply.
+    terms = jnp.where(q_ce > 0, q_ce * new_policy_logprobs, 0.0)
     new_lp = jnp.sum(terms, axis=-1)
     # Decisiveness weighting: scale each sample's CE by q's top1-top2 gap
     # (identity for one-hot targets). Most 2048 states are near-ties whose

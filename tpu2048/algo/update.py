@@ -75,10 +75,14 @@ def make_optimize_fn(apply_fn, labels, opt_config: opt.OptimizerConfig,
     by the psum'd global sample count and gradients psum'd per step, so the
     update equals one big minibatch of D x batch_size samples and parameters
     stay bit-identical across devices. Stats are psum'd to global means."""
+    from functools import partial
+
     ar_sum = (lambda x: jax.lax.psum(x, axis_name)) if axis_name else (lambda x: x)
     ar_max = (lambda x: jax.lax.pmax(x, axis_name)) if axis_name else (lambda x: x)
     loss_impl = {"ppo": losses.ppo_loss,
-                 "imitation": losses.imitation_loss}[objective]
+                 "imitation": losses.imitation_loss,
+                 "imitation_sharp": partial(losses.imitation_loss,
+                                            sharp=True)}[objective]
 
     def loss_fn(params, batch, weights, beta, critic_strength, rng, denom):
         inputs = encode_boards(batch["board"].astype(jnp.int32))

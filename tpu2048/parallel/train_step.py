@@ -83,7 +83,9 @@ def make_sharded_train_step(mesh: Mesh, cfg, apply_eval, apply_train, labels,
     optimize_fn = U.make_optimize_fn(
         apply_train, labels, opt_config, local_bs, cfg.ppo_epochs,
         kl_diagnostic=cfg.kl_diagnostic, axis_name=AXIS,
-        objective="imitation" if getattr(cfg, "expert_iter", False) else "ppo",
+        objective=((("imitation_sharp" if getattr(cfg, "expert_sharp", True)
+                     else "imitation"))
+                   if getattr(cfg, "expert_iter", False) else "ppo"),
     )
     process = make_process_fn(cfg, apply_train, labels, optimize_fn,
                               axis_name=AXIS, num_envs_local=local_envs,

@@ -98,6 +98,11 @@ def _add_train_flags(p: argparse.ArgumentParser) -> None:
     add("--expert-tau", dest="expert_tau", type=float, default=0.02,
         help="Soft-label temperature in return-std units "
              "(softmax(scores/(sigma*tau)); 0 = hard argmax labels)")
+    add("--no-expert-sharp", dest="expert_sharp", action="store_false",
+        default=True,
+        help="Cross-entropy against the soft target itself instead of the "
+             "default one-hot(argmax) with the soft decisiveness gap weight "
+             "(the soft-CE variant measurably collapses solo sampled play)")
     # multi-host launch (SURVEY.md §5.8; net-new — the reference has no
     # distributed layer). Run the SAME command on every host with its own
     # --process-id; the mesh then spans all hosts' chips.

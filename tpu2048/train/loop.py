@@ -114,6 +114,11 @@ class TrainConfig:
     # Distillation temperature in RETURN-STD units for the soft expert
     # target softmax(scores / (sigma * tau)); 0 = hard one-hot labels.
     expert_tau: float = 0.02
+    # Sharp CE: imitate one-hot(argmax of the soft target) while the soft
+    # target still supplies the decisiveness gap weight. Default ON —
+    # distilling the soft target verbatim measurably collapses solo sampled
+    # play (losses.imitation_loss docstring).
+    expert_sharp: bool = True
 
     @property
     def rollout_cap(self) -> int:
@@ -476,7 +481,8 @@ def train(cfg: TrainConfig) -> dict:
         optimize_fn = U.make_optimize_fn(
             apply_train, labels, opt_cfg, cfg.batch_size, cfg.ppo_epochs,
             kl_diagnostic=cfg.kl_diagnostic,
-            objective="imitation" if cfg.expert_iter else "ppo",
+            objective=(("imitation_sharp" if cfg.expert_sharp else "imitation")
+                       if cfg.expert_iter else "ppo"),
         )
         process_fn = make_process_fn(cfg, apply_train, labels, optimize_fn)
         N, T = cfg.num_episodes, cfg.rollout_cap
