@@ -37,8 +37,13 @@
 #     --src-dir checkpoints_expA --gamma 0.995 --train-step 100 \
 #     --highest-score 40520 --expert-depth 2
 cd "$(dirname "$0")/.."
+# lr 5e-5 (attempt 4): at 5e-4 the sharp CE tore the policy apart by
+# catastrophic interference within 8 steps (batch avg 17k -> 5.9k) — the
+# collapsing policy degrades the DAgger state mix, the shifting moments
+# degrade the expert, and the cycle implodes. Distillation on a 196-wide
+# trunk needs slow drift.
 python train.py train --steps "${1:-700}" --episodes 32 --batch-size 4096 \
-  --lr 5e-4 --critic-lr 8e-4 -H 196 --gamma 0.995 \
+  --lr 5e-5 --critic-lr 8e-4 -H 196 --gamma 0.995 \
   --entropy 0.001 \
   --points 0.10 --mono 1.0 --critic 1.0 --rtg-beta 0.9 \
   --warmup-steps 5 --upsample-ratio 0.25 -t mlp --no-kl-diagnostic \

@@ -397,6 +397,53 @@ def test_expert_rollout_records_expert_actions(rng):
     assert checked >= 20
 
 
+def test_frozen_expert_rollout(rng):
+    """rollout(expert_apply/expert_params): threading a frozen teacher equal
+    to the live policy reproduces the live-teacher trajectory exactly; a
+    DIFFERENT teacher's labels come from the teacher net, not the student —
+    its target_actions match expectimax on the teacher's params."""
+    from tpu2048.algo import rollout as R
+    from tpu2048.algo import search as SRCH
+    from tpu2048.models import MLPConfig, mlp
+
+    cfg = MLPConfig(hidden_dim=16, num_layers=1)
+    student = mlp.init(jax.random.key(2), cfg, zero_heads=False)
+    teacher = mlp.init(jax.random.key(7), cfg, zero_heads=False)
+    apply_fn = lambda p, x: mlp.apply(p, cfg, x)
+    coefs = SRCH.SearchCoefs(points=0.1, mono=1.0, sigma=3.0, mu=1.0,
+                             gamma=0.99)
+    kw = dict(expert_depth=1, expert_coefs=coefs, expert_mix=0.5,
+              expert_tau=0.05)
+    live = R.rollout(apply_fn, student, jax.random.key(0), 8, 48, **kw)
+    same = R.rollout(apply_fn, student, jax.random.key(0), 8, 48,
+                     expert_apply=apply_fn, expert_params=student, **kw)
+    np.testing.assert_array_equal(np.asarray(live.target_action),
+                                  np.asarray(same.target_action))
+    np.testing.assert_array_equal(np.asarray(live.board_after),
+                                  np.asarray(same.board_after))
+
+    froz = R.rollout(apply_fn, student, jax.random.key(0), 8, 48,
+                     expert_apply=apply_fn, expert_params=teacher, **kw)
+    valid = np.asarray(froz.valid)
+    boards = np.asarray(froz.board_before, np.int32)
+    targets = np.asarray(froz.target_action)
+    checked, differs = 0, 0
+    for t in range(boards.shape[0]):
+        for n in range(boards.shape[1]):
+            if not valid[t, n] or checked >= 30:
+                continue
+            b = jnp.asarray(boards[t, n])[None]
+            s_t = SRCH.expectimax_scores(apply_fn, teacher, b,
+                                         coefs=coefs, depth=1)
+            assert int(np.argmax(np.asarray(s_t)[0])) == int(targets[t, n])
+            s_s = SRCH.expectimax_scores(apply_fn, student, b,
+                                         coefs=coefs, depth=1)
+            differs += int(np.argmax(np.asarray(s_s)[0]) != targets[t, n])
+            checked += 1
+    assert checked >= 20
+    assert differs > 0  # the teacher is actually the one labeling
+
+
 def test_imitation_gap_weighting(rng):
     """Soft-target CE is scaled by the target's top1-top2 gap: a uniform
     (pure-tie) target contributes zero policy gradient; a one-hot target is

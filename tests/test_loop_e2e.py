@@ -164,3 +164,20 @@ def test_expert_iteration_trains(tmp_path):
     # an untrained critic, because the expert's shaping term plays for
     # survival + monotone structure from step one.
     assert out["env_steps_total"] > 300
+
+
+def test_expert_iteration_frozen_src(run_result, tmp_path):
+    """--expert-iter --expert-src: the teacher (params + coefs) loads from a
+    finished checkpoint dir and the run trains end to end — the stationary-
+    teacher configuration that avoids the live-teacher feedback implosion
+    (algo/rollout.py::rollout docstring)."""
+    tmp, _, _ = run_result  # its ckpt dir has best_model + train_state
+    cfg = _cfg(tmp_path, steps=2, expert_iter=True, warmup_steps=0,
+               expert_src=str(tmp / "ckpt"), hidden_size=16,
+               learning_rate=0.01, critic_lr=0.01, upsample_ratio=0.25)
+    out = train(cfg)
+    assert out["highest_score"] > 0
+    logs = list((tmp_path / "logs").glob("train_mlp_*.jsonl"))
+    lines = [json.loads(l) for l in logs[0].read_text().splitlines()
+             if "policy_loss" in l]
+    assert len(lines) == 2 and 0.0 < lines[-1]["policy_loss"] < 2.5

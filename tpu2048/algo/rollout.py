@@ -117,7 +117,8 @@ def masked_policy(logits: jnp.ndarray, invalid_mask: jnp.ndarray) -> tuple:
 def rollout(apply_fn, params, key: jax.Array, num_envs: int, max_steps: int,
             env_key: jax.Array | None = None, greedy: bool = False,
             expert_depth: int = 0, expert_coefs=None,
-            expert_mix: float = 1.0, expert_tau: float = 0.0) -> Trajectory:
+            expert_mix: float = 1.0, expert_tau: float = 0.0,
+            expert_apply=None, expert_params=None) -> Trajectory:
     """Play ``num_envs`` games to completion (or ``max_steps``).
 
     ``apply_fn(params, inputs) -> (logits, value)`` must be the eval-mode
@@ -142,6 +143,14 @@ def rollout(apply_fn, params, key: jax.Array, num_envs: int, max_steps: int,
     solo play, because states the imitator reaches on its own were never
     labeled. The policy's logprobs/entropy/value are recorded per step
     regardless.
+
+    ``expert_apply``/``expert_params`` (default: the live policy's): a FROZEN
+    teacher for the search. Running the expert on the LEARNER'S live critic
+    and moments couples teacher quality to student drift — four live-teacher
+    runs at lr 5e-4..5e-5 all imploded the same way (student drifts -> its
+    critic/moments miscalibrate -> expert labels degrade -> imitating worse
+    labels accelerates the drift). A frozen teacher makes the objective plain
+    DAgger against a FIXED expert: supervised, stationary, stable.
     """
     T, N = max_steps, num_envs
     if env_key is None:
@@ -182,8 +191,10 @@ def rollout(apply_fn, params, key: jax.Array, num_envs: int, max_steps: int,
 
             coefs = (expert_coefs if expert_coefs is not None
                      else SRCH.SearchCoefs())
+            e_apply = expert_apply if expert_apply is not None else apply_fn
+            e_params = expert_params if expert_params is not None else params
             scores = SRCH.expectimax_scores(
-                apply_fn, params, boards, moves, coefs, expert_depth)
+                e_apply, e_params, boards, moves, coefs, expert_depth)
             target = jnp.argmax(scores, axis=-1).astype(jnp.int32)
             if expert_tau > 0:
                 # Soft distillation target: temperature in sigma units, so a

@@ -103,6 +103,11 @@ def _add_train_flags(p: argparse.ArgumentParser) -> None:
         help="Cross-entropy against the soft target itself instead of the "
              "default one-hot(argmax) with the soft decisiveness gap weight "
              "(the soft-CE variant measurably collapses solo sampled play)")
+    add("--expert-src", dest="expert_src", default=None,
+        help="Checkpoint dir of a FROZEN expert (params from best_model, "
+             "coefs from its train_state moments). Unset = live learner "
+             "drives the search, which couples teacher to student drift "
+             "and measurably implodes; prefer a frozen src")
     # multi-host launch (SURVEY.md §5.8; net-new — the reference has no
     # distributed layer). Run the SAME command on every host with its own
     # --process-id; the mesh then spans all hosts' chips.

@@ -119,6 +119,11 @@ class TrainConfig:
     # distilling the soft target verbatim measurably collapses solo sampled
     # play (losses.imitation_loss docstring).
     expert_sharp: bool = True
+    # Checkpoint dir of a FROZEN teacher (params via best_model, coefs via
+    # its train_state moments). Unset = the live learner drives the search,
+    # which couples teacher quality to student drift and measurably implodes
+    # (algo/rollout.py::rollout docstring). Set this for stable distillation.
+    expert_src: Optional[str] = None
 
     @property
     def rollout_cap(self) -> int:
@@ -489,21 +494,51 @@ def train(cfg: TrainConfig) -> dict:
         if cfg.expert_iter:
             from ..algo import search as SRCH
 
-            logger.print(
-                f"Expert iteration: depth-{cfg.expert_depth} expectimax "
-                "rollout, imitation + value objective")
+            if cfg.expert_src:
+                # Frozen teacher: params + denormalization coefs loaded ONCE
+                # from a finished checkpoint. The teacher never moves, so the
+                # imitation objective is stationary (rollout docstring).
+                from .evaluate import load_model_checkpoint, load_search_coefs
 
-            def _roll(p, k, m, ts):
-                coefs = SRCH.coefs_from_moments(
-                    m, ts, cfg.points_weight, cfg.monotonicity_weight,
-                    cfg.emptiness_weight, cfg.gamma, cfg.rtg_beta)
-                return R.rollout(apply_eval, p, k, N, T,
-                                 expert_depth=cfg.expert_depth,
-                                 expert_coefs=coefs,
-                                 expert_mix=cfg.expert_mix,
-                                 expert_tau=cfg.expert_tau)
+                e_params, e_mc, e_mt = load_model_checkpoint(cfg.expert_src)
+                e_coefs = load_search_coefs(cfg.expert_src)
+                if e_mt == "urm":
+                    e_apply = lambda p, x: urm.apply(p, e_mc, x)
+                else:
+                    e_apply = lambda p, x: mlp.apply(p, e_mc, x)
+                logger.print(
+                    f"Expert iteration: FROZEN depth-{cfg.expert_depth} "
+                    f"expectimax teacher from {cfg.expert_src} "
+                    f"(sigma={e_coefs.sigma:.1f}, mu={e_coefs.mu:.1f})")
 
-            rollout_fn = jax.jit(_roll)
+                def _roll(p, k, m, ts, ep):
+                    return R.rollout(apply_eval, p, k, N, T,
+                                     expert_depth=cfg.expert_depth,
+                                     expert_coefs=e_coefs,
+                                     expert_mix=cfg.expert_mix,
+                                     expert_tau=cfg.expert_tau,
+                                     expert_apply=e_apply,
+                                     expert_params=ep)
+
+                _roll_jit = jax.jit(_roll)
+                rollout_fn = lambda p, k, m, ts: _roll_jit(p, k, m, ts,
+                                                           e_params)
+            else:
+                logger.print(
+                    f"Expert iteration: depth-{cfg.expert_depth} expectimax "
+                    "rollout, imitation + value objective")
+
+                def _roll(p, k, m, ts):
+                    coefs = SRCH.coefs_from_moments(
+                        m, ts, cfg.points_weight, cfg.monotonicity_weight,
+                        cfg.emptiness_weight, cfg.gamma, cfg.rtg_beta)
+                    return R.rollout(apply_eval, p, k, N, T,
+                                     expert_depth=cfg.expert_depth,
+                                     expert_coefs=coefs,
+                                     expert_mix=cfg.expert_mix,
+                                     expert_tau=cfg.expert_tau)
+
+                rollout_fn = jax.jit(_roll)
         else:
             rollout_fn = jax.jit(
                 lambda p, k, m, ts: R.rollout(apply_eval, p, k, N, T)
