@@ -185,6 +185,7 @@ def bench_learner(batch_size: int = 512, S: int = 8192,
         advantage=jnp.asarray(rng.normal(size=S), jnp.float32),
         G_norm=jnp.asarray(rng.normal(size=S), jnp.float32),
         logprobs=jnp.asarray(lp),
+        target_probs=jnp.full((S, 4), 0.25, jnp.float32),
         valid=jnp.ones((S,), jnp.bool_),
     )
     args = (jnp.float32(0.02), jnp.float32(0.2), jnp.float32(1.0))
@@ -276,12 +277,25 @@ def bench_train_step(episodes: int = 256, minibatch: int = 4096,
     )
 
 
-def main() -> None:
-    env_sps = bench_env_only()
-    ro = bench_fused_rollout()
-    learner = bench_learner(512, kl_diagnostic=True)
-    learner_fast = bench_learner(4096, S=32768, kl_diagnostic=False)
-    e2e = bench_train_step()
+def main(tiny: bool = False) -> dict:
+    """Run every bench path and print the driver JSON line.
+
+    ``tiny=True`` runs the exact same code at toy sizes so the test suite can
+    execute this driver-facing entry point on CPU every run (round 2's bench
+    rotted silently because nothing imported it — VERDICT r2 item 1).
+    """
+    if tiny:
+        env_sps = bench_env_only(batch=8, iters=4)
+        ro = bench_fused_rollout(batch=8, steps=16)
+        learner = bench_learner(8, S=32, kl_diagnostic=True)
+        learner_fast = bench_learner(16, S=32, kl_diagnostic=False)
+        e2e = bench_train_step(episodes=8, minibatch=32, repeats=1)
+    else:
+        env_sps = bench_env_only()
+        ro = bench_fused_rollout()
+        learner = bench_learner(512, kl_diagnostic=True)
+        learner_fast = bench_learner(4096, S=32768, kl_diagnostic=False)
+        e2e = bench_train_step()
     err = lambda s: print(s, file=sys.stderr)
     err(f"# fused rollout (env+policy): {ro['env_steps_per_second']:,.0f} "
         f"env-steps/s ({ro['total_moves']} moves / {ro['trip_count']} trips "
@@ -295,7 +309,7 @@ def main() -> None:
     err(f"# end-to-end train step (HT): {e2e['env_steps_per_second']:,.0f} "
         f"env-steps/s ({e2e['seconds_per_step']}s/step, "
         f"{e2e['env_steps_per_train_step']} env steps/step)")
-    print(json.dumps({
+    record = {
         "metric": "fused_rollout_env_steps_per_second",
         "value": round(ro["env_steps_per_second"]),
         "unit": "env-steps/s",
@@ -308,8 +322,10 @@ def main() -> None:
             "train_step_e2e_ht": e2e,
             "device": jax.devices()[0].device_kind,
         },
-    }))
+    }
+    print(json.dumps(record))
+    return record
 
 
 if __name__ == "__main__":
-    main()
+    main(tiny="--tiny" in sys.argv[1:])

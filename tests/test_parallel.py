@@ -227,3 +227,52 @@ def test_sharded_expert_iteration_runs():
     assert np.isfinite(np.asarray(out["scalars"])).all()
     jax.tree.map(lambda a: np.testing.assert_(np.isfinite(np.asarray(a)).all()), p)
     assert float(np.asarray(traj.total_points).max()) > 0
+
+
+def test_sharded_expert_src_uses_frozen_teacher(tmp_path):
+    """--expert-src under the SPMD step (round-2 ADVICE medium finding): the
+    frozen teacher's params + denormalization coefs must be threaded into the
+    sharded rollout, not silently dropped in favor of the live learner. The
+    D=1 sharded trajectory must match a direct single-chip frozen-teacher
+    rollout bit-for-bit on the same derived key."""
+    from tpu2048.train.loop import train
+    from tpu2048.train.evaluate import load_model_checkpoint, load_search_coefs
+
+    # A real (tiny) checkpoint dir with best_model + train_state.
+    src = _cfg(num_episodes=4, batch_size=16, scan_cap=48, steps=1,
+               warmup_steps=0, checkpoint_dir=str(tmp_path / "ckpt"),
+               log_dir=str(tmp_path / "logs"))
+    train(src)
+
+    cfg = _cfg(expert_iter=True, expert_depth=1, num_episodes=4,
+               batch_size=8, scan_cap=48, expert_src=str(tmp_path / "ckpt"))
+    params, labels, opt_cfg, apply_eval, apply_train = _setup(cfg)
+    k_step = jax.random.key(11)
+    p, o, m, traj, out = _run_sharded(
+        cfg, 1, k_step, params, labels, opt_cfg, apply_eval, apply_train)
+    assert np.isfinite(np.asarray(out["scalars"])).all()
+
+    # Reproduce the sharded body's rollout with the frozen teacher threaded
+    # the way the single-chip loop does it (train/loop.py frozen-src branch).
+    e_params, e_mc, e_mt = load_model_checkpoint(cfg.expert_src)
+    e_coefs = load_search_coefs(cfg.expert_src)
+    e_apply = lambda pp, x: mlp.apply(pp, e_mc, x)
+    k_roll, _ = jax.random.split(jax.random.fold_in(k_step, 0))
+    ref = R.rollout(apply_eval, params, k_roll, cfg.num_episodes,
+                    cfg.rollout_cap, expert_depth=cfg.expert_depth,
+                    expert_coefs=e_coefs, expert_mix=cfg.expert_mix,
+                    expert_tau=cfg.expert_tau, expert_apply=e_apply,
+                    expert_params=e_params)
+    np.testing.assert_array_equal(np.asarray(traj.target_action),
+                                  np.asarray(ref.target_action))
+    np.testing.assert_allclose(np.asarray(traj.target_probs),
+                               np.asarray(ref.target_probs), atol=1e-6)
+
+    # And the frozen teacher actually changes behavior vs the live-learner
+    # fallback (the exact silent divergence the ADVICE finding describes).
+    live = R.rollout(apply_eval, params, k_roll, cfg.num_episodes,
+                     cfg.rollout_cap, expert_depth=cfg.expert_depth,
+                     expert_coefs=e_coefs, expert_mix=cfg.expert_mix,
+                     expert_tau=cfg.expert_tau)
+    assert not np.allclose(np.asarray(traj.target_probs),
+                           np.asarray(live.target_probs))

@@ -91,22 +91,47 @@ def make_sharded_train_step(mesh: Mesh, cfg, apply_eval, apply_train, labels,
                               axis_name=AXIS, num_envs_local=local_envs,
                               _jit=False)
 
+    # Frozen teacher (--expert-src): load params + denormalization coefs ONCE,
+    # exactly like the single-chip path (train/loop.py). Round-2 ADVICE flagged
+    # that this path silently fell back to the live-learner teacher — the
+    # configuration BENCH.md expC documents as imploding training.
+    e_apply = e_params = e_coefs = None
+    if getattr(cfg, "expert_iter", False) and getattr(cfg, "expert_src", None):
+        from ..models import mlp, urm
+        from ..train.evaluate import load_model_checkpoint, load_search_coefs
+
+        e_params, e_mc, e_mt = load_model_checkpoint(cfg.expert_src)
+        e_coefs = load_search_coefs(cfg.expert_src)
+        if e_mt == "urm":
+            e_apply = lambda p, x: urm.apply(p, e_mc, x)
+        else:
+            e_apply = lambda p, x: mlp.apply(p, e_mc, x)
+
     def step_fn(params, opt_state, moments, key, train_step, beta):
         didx = jax.lax.axis_index(AXIS)
         key = jax.random.fold_in(key, didx)
         k_roll, k_proc = jax.random.split(key)
         if getattr(cfg, "expert_iter", False):
-            from ..algo import search as SRCH
+            if e_apply is not None:
+                traj = R.rollout(apply_eval, params, k_roll, local_envs, T,
+                                 expert_depth=cfg.expert_depth,
+                                 expert_coefs=e_coefs,
+                                 expert_mix=getattr(cfg, "expert_mix", 1.0),
+                                 expert_tau=getattr(cfg, "expert_tau", 0.0),
+                                 expert_apply=e_apply,
+                                 expert_params=e_params)
+            else:
+                from ..algo import search as SRCH
 
-            coefs = SRCH.coefs_from_moments(
-                moments, train_step, cfg.points_weight,
-                cfg.monotonicity_weight, cfg.emptiness_weight, cfg.gamma,
-                cfg.rtg_beta)
-            traj = R.rollout(apply_eval, params, k_roll, local_envs, T,
-                             expert_depth=cfg.expert_depth,
-                             expert_coefs=coefs,
-                             expert_mix=getattr(cfg, "expert_mix", 1.0),
-                             expert_tau=getattr(cfg, "expert_tau", 0.0))
+                coefs = SRCH.coefs_from_moments(
+                    moments, train_step, cfg.points_weight,
+                    cfg.monotonicity_weight, cfg.emptiness_weight, cfg.gamma,
+                    cfg.rtg_beta)
+                traj = R.rollout(apply_eval, params, k_roll, local_envs, T,
+                                 expert_depth=cfg.expert_depth,
+                                 expert_coefs=coefs,
+                                 expert_mix=getattr(cfg, "expert_mix", 1.0),
+                                 expert_tau=getattr(cfg, "expert_tau", 0.0))
         else:
             traj = R.rollout(apply_eval, params, k_roll, local_envs, T)
         new_params, new_opt_state, new_moments, outputs = process(
