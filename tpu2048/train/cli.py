@@ -85,7 +85,15 @@ def _add_train_flags(p: argparse.ArgumentParser) -> None:
         help="Data-parallel mesh size (>1 routes through the SPMD trainer)")
     add("--dropout", type=float, default=0.1)
     add("--eval-env-seed", dest="eval_env_seed", type=int, default=12345,
-        help="Seed of the fixed env stream used by eval-in-train")
+        help="Base seed of the env stream used by eval-in-train")
+    add("--eval-fixed-stream", dest="eval_fixed_stream", action="store_true",
+        help="Use the IDENTICAL eval spawn stream every round (reference-"
+             "analog semantics) instead of folding the eval index into the "
+             "env key")
+    add("--no-pipeline", dest="pipeline", action="store_false", default=True,
+        help="Disable host/device pipelining (finish each step's host work "
+             "before dispatching the next step). Numerics are identical "
+             "either way; pipelining only hides dispatch latency")
     add("--expert-iter", dest="expert_iter", action="store_true",
         help="Expert iteration: rollout with expectimax-search actions "
              "(critic leaves, live RTG-moment denormalization) and train the "
@@ -108,6 +116,10 @@ def _add_train_flags(p: argparse.ArgumentParser) -> None:
              "coefs from its train_state moments). Unset = live learner "
              "drives the search, which couples teacher to student drift "
              "and measurably implodes; prefer a frozen src")
+    add("--anchor-kl", dest="anchor_kl", type=float, default=0.0,
+        help="KL(anchor || pi) trust-region strength vs the run-start "
+             "(warm-started) policy; guards distillation against trading "
+             "away warm-start competence. 0 = off")
     # multi-host launch (SURVEY.md §5.8; net-new — the reference has no
     # distributed layer). Run the SAME command on every host with its own
     # --process-id; the mesh then spans all hosts' chips.
@@ -156,6 +168,14 @@ def cmd_evaluate(args) -> None:
     _apply_platform(args)
     from .evaluate import evaluate_checkpoint
 
+    if args.search and args.search_depth >= 3 and args.search_prune == 0:
+        # The exact depth-3 tree is (4*32)^2 subproblems per move per board —
+        # it hangs/OOMs long before producing a number. Force the documented
+        # tractable default instead of silently wedging.
+        print("--search-depth 3 without --search-prune is intractable "
+              "(exact (4*32)^2 inner tree); forcing --search-prune 2. "
+              "Pass --search-prune explicitly to override.")
+        args.search_prune = 2
     evaluate_checkpoint(args.model_path, games=args.games, seed=args.seed,
                         greedy=args.greedy, env_seed=args.env_seed,
                         search=args.search, search_depth=args.search_depth,
@@ -184,23 +204,30 @@ def cmd_export_demo(args) -> None:
         (out / "best_game.json").write_text(json.dumps(demo, indent=2))
         print(f"Game exported to {out / 'best_game.json'}")
         best = None
+        play_meta = None
     elif args.search:
         from .evaluate import load_search_coefs, search_play_best
 
         coefs = load_search_coefs(args.model_path)
         print(f"Search play for demo export (depth={args.search_depth}, "
               f"coefs={coefs})")
+        env_seed = args.seed if args.seed else 12345
         best = search_play_best(params, model_cfg, model_type,
                                 num_games=args.num_games,
-                                env_seed=args.seed if args.seed else 12345,
+                                env_seed=env_seed,
                                 coefs=coefs, depth=args.search_depth)
+        play_meta = {"mode": "search", "search_depth": args.search_depth,
+                     "num_games": args.num_games, "env_seed": env_seed}
     else:
         best = play_best_of(params, model_cfg, model_type,
                             num_games=args.num_games, seed=args.seed)
+        play_meta = {"mode": "sampled", "num_games": args.num_games,
+                     "seed": args.seed}
     from .evaluate import load_search_coefs as _lsc
 
     export_demo_assets(params, model_cfg, model_type, best, args.output_dir,
-                       search_coefs=_lsc(args.model_path))
+                       search_coefs=_lsc(args.model_path),
+                       play_meta=play_meta)
     # Copy the raw checkpoint next to the demo assets (the reference copies
     # best_model.pt into docs/data, train.py:2064-2069).
     import shutil
@@ -282,7 +309,10 @@ def main(argv=None) -> None:
     p_eval.add_argument("--search-prune", dest="search_prune", type=int,
                         default=0, choices=(0, 1, 2, 3),
                         help="Expand only the top-k actions (ranked by 1-ply "
-                             "score) at inner max nodes; 0 = exact tree")
+                             "score) at inner max nodes; 0 = exact tree. "
+                             "Only takes effect at depth >= 3 (inner max "
+                             "nodes don't exist below that); forced to 2 "
+                             "when depth 3 is requested without it")
     p_eval.set_defaults(fn=cmd_evaluate)
 
     p_exp = sub.add_parser("export-demo", help="Export demo assets for the web UI")

@@ -16,12 +16,14 @@ from ..utils.onnx_writer import export_mlp, export_urm
 
 
 def export_demo_assets(params, model_cfg, model_type: str, best_episode,
-                       output_dir, search_coefs=None) -> None:
+                       output_dir, search_coefs=None,
+                       play_meta: dict | None = None) -> None:
     out = Path(output_dir)
     out.mkdir(parents=True, exist_ok=True)
 
     if best_episode:
-        viz_export.export_best_game(best_episode, out / "best_game.json")
+        viz_export.export_best_game(best_episode, out / "best_game.json",
+                                    meta=play_meta)
     else:
         print("Warning: No best game to export (no games were played)")
 

@@ -65,14 +65,19 @@ def export_episode_visualization(viz_dir, train_step: int, episode: dict,
     return out
 
 
-def export_best_game(episode: dict, output_path) -> Path:
-    """Demo replay JSON: states as tile values, 1-indexed steps."""
+def export_best_game(episode: dict, output_path, meta: dict | None = None) -> Path:
+    """Demo replay JSON: states as tile values, 1-indexed steps.
+
+    ``meta`` (optional) is recorded verbatim under a ``play`` key — the
+    export provenance (sampled vs search play, depth, seed, games played),
+    so the committed showcase artifact says how it was generated."""
     out = Path(output_path)
     out.parent.mkdir(parents=True, exist_ok=True)
     moves = episode.get("moves", [])
     data = {
         "score": episode.get("total_points", 0),
         "total_steps": episode.get("total_steps", len(moves)),
+        **({"play": meta} if meta else {}),
         "moves": [
             {
                 "step": i + 1,
