@@ -83,6 +83,60 @@ def test_optimize_zero_schedule_freezes_params(rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))
 
 
+def test_anchor_kl_trust_region(rng):
+    """The anchor KL term must (a) keep the updated policy measurably closer
+    to the frozen anchor than an unanchored run on the same data, and (b)
+    vanish at strength 0 (bitwise-identical to no anchor)."""
+    cfg = MLPConfig(hidden_dim=32, num_layers=1, dropout=0.0)
+    params = mlp.init(jax.random.key(0), cfg, zero_heads=False)
+    labels = mlp.param_labels(params)
+    ocfg = OptimizerConfig(learning_rate=5e-2, critic_lr=5e-2)
+    apply_train = lambda p, x, r: mlp.apply(p, cfg, x, train=True, rng=r)
+    apply_eval = lambda p, x: mlp.apply(p, cfg, x)
+    anchor_params = jax.tree.map(jnp.asarray, params)
+
+    # Imitation targets that conflict with the (near-uniform) anchor: always
+    # push toward action 0, so unanchored CE drives the policy far away.
+    ds = _make_dataset(rng, S_cap=64, S_valid=64)
+    tp = np.zeros((64, 4), np.float32)
+    tp[:, 0] = 1.0
+    ds = ds._replace(target_probs=jnp.asarray(tp),
+                     action=jnp.zeros((64,), jnp.int32))
+
+    def run(anchor):
+        optimize = U.make_optimize_fn(apply_train, labels, ocfg, batch_size=16,
+                                      epochs=4, objective="imitation",
+                                      anchor=anchor, kl_diagnostic=False)
+        p, s = params, opt.init(params, labels)
+        for i in range(4):
+            p, s, _ = jax.jit(optimize)(
+                p, s, ds, jax.random.key(i), jnp.float32(0.0),
+                jnp.float32(0.2), jnp.float32(1.0))
+        return p
+
+    def kl_to_anchor(p):
+        from tpu2048.algo import losses
+        from tpu2048.models.encoding import encode_boards
+
+        x = encode_boards(ds.board_before.astype(jnp.int32))
+        a_logits, _ = apply_eval(anchor_params, x)
+        n_logits, _ = apply_eval(p, x)
+        w = jnp.ones((64,), jnp.float32)
+        _, kl_mean, _ = losses.kl_old_new(a_logits, n_logits, ds.action_mask, w)
+        return float(kl_mean)
+
+    p_free = run(None)
+    p_anchored = run((apply_eval, anchor_params, 10.0))
+    kl_free, kl_anch = kl_to_anchor(p_free), kl_to_anchor(p_anchored)
+    assert kl_free > 0.05  # the CE genuinely moves the free policy
+    assert kl_anch < 0.5 * kl_free
+
+    # strength path disabled == anchor None, bit for bit
+    p_zero = run((apply_eval, anchor_params, 0.0))
+    for a, b in zip(jax.tree.leaves(p_free), jax.tree.leaves(p_zero)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_checkpoint_roundtrip(tmp_path):
     from tpu2048.train import checkpoint as CKPT
     from tpu2048.algo.advantage import RtgMoments

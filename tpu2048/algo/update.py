@@ -58,7 +58,8 @@ class OptimizeStats(NamedTuple):
 
 def make_optimize_fn(apply_fn, labels, opt_config: opt.OptimizerConfig,
                      batch_size: int, epochs: int, kl_diagnostic: bool = True,
-                     axis_name: str | None = None, objective: str = "ppo"):
+                     axis_name: str | None = None, objective: str = "ppo",
+                     anchor=None):
     """Build optimize(params, opt_state, dataset, key, beta, critic_strength,
     schedule_mult) -> (params, opt_state, OptimizeStats).
 
@@ -68,6 +69,17 @@ def make_optimize_fn(apply_fn, labels, opt_config: opt.OptimizerConfig,
     ``objective``: ``"ppo"`` (reference semantics) or ``"imitation"``
     (expert iteration: cross-entropy at the rollout's expert actions — see
     losses.imitation_loss). Both consume the same Dataset schema.
+
+    ``anchor``: optional ``(anchor_apply, anchor_params, strength)`` KL trust
+    region (net-new; no reference counterpart). Adds
+    ``strength * KL(pi_anchor || pi)`` per sample to the loss, where the
+    anchor is a FROZEN policy (eval-mode ``anchor_apply(params, inputs) ->
+    (logits, value)``) — typically the warm-start checkpoint in expert
+    distillation. The forward KL is mode-covering: the student must keep
+    probability mass everywhere the warm-start policy had it, which blocks
+    the observed failure where unconstrained imitation CE trades away the
+    warm-start's competence on underrepresented (early-game) states
+    (BENCH.md, "Distilling the searcher": solo eval 8,848 -> ~1,300).
 
     ``axis_name``: run data-parallel under shard_map over that mesh axis.
     ``batch_size`` is then the PER-DEVICE minibatch size; every device runs
@@ -93,6 +105,14 @@ def make_optimize_fn(apply_fn, labels, opt_config: opt.OptimizerConfig,
             kl_strength=beta, critic_strength=critic_strength, denom=denom,
             target_probs=batch["target_probs"],
         )
+        if anchor is not None:
+            anchor_apply, anchor_params, strength = anchor
+            a_logits, _ = anchor_apply(anchor_params, inputs)
+            a_logits = jax.lax.stop_gradient(a_logits)
+            _, akl_mean, _ = losses.kl_old_new(
+                a_logits, logits, batch["mask"], weights, denom
+            )
+            loss = loss + strength * akl_mean
         return loss, (stats, logits)
 
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)

@@ -56,7 +56,7 @@ def _traj_specs() -> R.Trajectory:
 
 
 def make_sharded_train_step(mesh: Mesh, cfg, apply_eval, apply_train, labels,
-                            opt_config: opt.OptimizerConfig):
+                            opt_config: opt.OptimizerConfig, anchor=None):
     """Build the jitted SPMD train step for a ('data',) mesh:
 
         (params, opt_state, moments, key, train_step, beta)
@@ -86,6 +86,7 @@ def make_sharded_train_step(mesh: Mesh, cfg, apply_eval, apply_train, labels,
         objective=((("imitation_sharp" if getattr(cfg, "expert_sharp", True)
                      else "imitation"))
                    if getattr(cfg, "expert_iter", False) else "ppo"),
+        anchor=anchor,
     )
     process = make_process_fn(cfg, apply_train, labels, optimize_fn,
                               axis_name=AXIS, num_envs_local=local_envs,

@@ -101,7 +101,15 @@ class TrainConfig:
     scan_cap: int = DEFAULT_SCAN_CAP
     checkpoint_freq: Optional[int] = None  # full-state checkpoint cadence
     mesh_data: int = 1  # >1: SPMD data-parallel trainer over an N-device mesh
-    eval_env_seed: int = 12345  # env stream for eval-in-train (fixed per eval)
+    eval_env_seed: int = 12345  # base env-stream seed for eval-in-train
+    # True = the IDENTICAL spawn stream every eval (reference-analog
+    # semantics); False (default) folds the eval round index into the env
+    # key so best-checkpoint selection can't overfit one spawn sequence.
+    eval_fixed_stream: bool = False
+    # Overlap each step's host work (scalar fetch/logging) with the NEXT
+    # step's device execution. Bit-identical numerics — reads are deferred,
+    # not staled; auto-disabled under adaptive_beta (see the train loop).
+    pipeline: bool = True
     # Expert iteration (net-new): rollout actions come from expert_depth-ply
     # expectimax search with live-moment coefs; the learner imitates them
     # (cross-entropy) instead of PPO. See algo/search.py, losses.imitation_loss.
@@ -124,6 +132,10 @@ class TrainConfig:
     # which couples teacher quality to student drift and measurably implodes
     # (algo/rollout.py::rollout docstring). Set this for stable distillation.
     expert_src: Optional[str] = None
+    # KL(anchor || pi) trust-region strength vs the policy at run start
+    # (post-resume warm start). 0 = off. Guards distillation against trading
+    # away warm-start competence on underrepresented states (algo/update.py).
+    anchor_kl: float = 0.0
 
     @property
     def rollout_cap(self) -> int:
@@ -368,16 +380,21 @@ EVAL_KEYS = ("avg_score", "max_score", "median_score", "pct_1024",
 
 
 def make_eval_fn(cfg: TrainConfig, apply_eval):
-    """Seeded eval: fixed env stream (like the reference's random.seed(i),
-    train.py:227-229 — see rollout docstring), stochastic policy draws."""
+    """Seeded eval: seeded env stream (like the reference's random.seed(i),
+    train.py:227-229 — see rollout docstring), stochastic policy draws.
+
+    By default the eval ROUND index is folded into the env key, so each eval
+    sees a fresh (but reproducible) spawn sequence — best-checkpoint selection
+    can't overfit one fixed stream. ``eval_fixed_stream=True`` restores the
+    reference-analog semantics (the identical stream every eval)."""
     T = cfg.rollout_cap
     G = cfg.eval_games
 
     @jax.jit
-    def eval_rollout(params, key):
-        # Fixed env stream every eval (configurable; reference analog is
-        # random.seed(i) per game, train.py:227-229 — deviation documented).
+    def eval_rollout(params, key, eval_idx):
         env_key = jax.random.key(cfg.eval_env_seed)
+        if not cfg.eval_fixed_stream:
+            env_key = jax.random.fold_in(env_key, eval_idx)
         traj = R.rollout(apply_eval, params, key, G, T, env_key=env_key)
         scores = traj.total_points
         max_tiles = engine.max_tile_value(traj.final_board.astype(jnp.int32))
@@ -473,6 +490,42 @@ def train(cfg: TrainConfig) -> dict:
     opt_state = opt.init(params, labels)
     moments = A.RtgMoments.initial()
 
+    # --- mutable host state (checkpointable) ---
+    # Resume happens BEFORE the step functions are built so the trust-region
+    # anchor (below) can close over the warm-started params.
+    start_step = 0
+    highest_score = 0
+    best_eval_avg = 0.0
+    ema_decay = 0.001
+    emas = dict(avg_score=0.0, pct_512=0.0, pct_1024=0.0, pct_2048=0.0,
+                explained_var=0.0)
+    current_beta = cfg.entropy_strength
+    best_game_episode = None
+
+    if cfg.resume and cfg.checkpoint_dir and CKPT.checkpoint_exists(
+        cfg.checkpoint_dir, "train_state"
+    ):
+        tree = dict(params=params, opt_state=opt_state, moments=moments,
+                    key=jax.random.key_data(key))
+        tree, manifest = CKPT.load_checkpoint(cfg.checkpoint_dir, "train_state", tree)
+        params, opt_state, moments = tree["params"], tree["opt_state"], tree["moments"]
+        key = jax.random.wrap_key_data(tree["key"])
+        start_step = int(manifest["train_step"]) + 1
+        highest_score = manifest.get("highest_score", 0)
+        best_eval_avg = manifest.get("best_eval_avg", 0.0)
+        emas.update(manifest.get("emas", {}))
+        current_beta = manifest.get("current_beta", current_beta)
+        logger.print(f"Resumed from step {start_step}")
+
+    # KL trust region vs the policy AS OF RUN START (post-resume/warm-start):
+    # the frozen anchor for distillation runs (see algo/update.py docstring).
+    anchor = None
+    if cfg.anchor_kl > 0.0:
+        anchor = (lambda p, x: apply_eval(p, x),
+                  jax.tree.map(jnp.asarray, params), cfg.anchor_kl)
+        logger.print(f"Anchor KL trust region: strength {cfg.anchor_kl} "
+                     "vs the run-start policy")
+
     use_mesh = cfg.mesh_data > 1
     if use_mesh:
         from ..parallel import make_mesh, make_sharded_train_step
@@ -480,7 +533,7 @@ def train(cfg: TrainConfig) -> dict:
         mesh = make_mesh(cfg.mesh_data)
         logger.print(f"SPMD data-parallel mesh: {dict(mesh.shape)}")
         fused_step = make_sharded_train_step(
-            mesh, cfg, apply_eval, apply_train, labels, opt_cfg
+            mesh, cfg, apply_eval, apply_train, labels, opt_cfg, anchor=anchor
         )
     else:
         optimize_fn = U.make_optimize_fn(
@@ -488,6 +541,7 @@ def train(cfg: TrainConfig) -> dict:
             kl_diagnostic=cfg.kl_diagnostic,
             objective=(("imitation_sharp" if cfg.expert_sharp else "imitation")
                        if cfg.expert_iter else "ppo"),
+            anchor=anchor,
         )
         process_fn = make_process_fn(cfg, apply_train, labels, optimize_fn)
         N, T = cfg.num_episodes, cfg.rollout_cap
@@ -554,31 +608,6 @@ def train(cfg: TrainConfig) -> dict:
     logger.print(f"Initial action logits: {np.asarray(tl)}")
     logger.print(f"Initial value logit: {np.asarray(tv)}")
 
-    # --- mutable host state (checkpointable) ---
-    start_step = 0
-    highest_score = 0
-    best_eval_avg = 0.0
-    ema_decay = 0.001
-    emas = dict(avg_score=0.0, pct_512=0.0, pct_1024=0.0, pct_2048=0.0,
-                explained_var=0.0)
-    current_beta = cfg.entropy_strength
-    best_game_episode = None
-
-    if cfg.resume and cfg.checkpoint_dir and CKPT.checkpoint_exists(
-        cfg.checkpoint_dir, "train_state"
-    ):
-        tree = dict(params=params, opt_state=opt_state, moments=moments,
-                    key=jax.random.key_data(key))
-        tree, manifest = CKPT.load_checkpoint(cfg.checkpoint_dir, "train_state", tree)
-        params, opt_state, moments = tree["params"], tree["opt_state"], tree["moments"]
-        key = jax.random.wrap_key_data(tree["key"])
-        start_step = int(manifest["train_step"]) + 1
-        highest_score = manifest.get("highest_score", 0)
-        best_eval_avg = manifest.get("best_eval_avg", 0.0)
-        emas.update(manifest.get("emas", {}))
-        current_beta = manifest.get("current_beta", current_beta)
-        logger.print(f"Resumed from step {start_step}")
-
     def save_train_state(step):
         if not cfg.checkpoint_dir or not main_process:
             return
@@ -597,21 +626,30 @@ def train(cfg: TrainConfig) -> dict:
     t_start = time.time()
     env_steps_total = 0
 
-    for train_step in range(start_step, cfg.steps):
-        if use_mesh:
-            key, k_step = jax.random.split(key)
-            params, opt_state, moments, traj, out = fused_step(
-                params, opt_state, moments, k_step,
-                jnp.int32(train_step + 1), jnp.float32(current_beta),
-            )
-        else:
-            key, k_roll, k_proc = jax.random.split(key, 3)
-            traj = rollout_fn(params, k_roll, moments,
-                              jnp.int32(train_step + 1))
-            params, opt_state, moments, out = process_fn(
-                params, opt_state, traj, moments, k_proc,
-                jnp.int32(train_step + 1), jnp.float32(current_beta),
-            )
+    # --- host-side pipelining (net-new; the reference is strictly serial) ---
+    # JAX dispatch is async, but fetching the step's packed scalars forces a
+    # host sync; on a remote-attached TPU the device then sits idle for a full
+    # dispatch round trip every step. Instead, dispatch step N+1 FIRST and do
+    # step N's host work (scalar fetch, EMAs, logging) while the device runs
+    # N+1 — numerics are bit-identical (reads are deferred, nothing is made
+    # stale) because the dispatch consumes only device-side state. Steps whose
+    # host work feeds back into training (eval + its best-model save, full
+    # train-state checkpoints, the final step) are processed synchronously;
+    # adaptive beta reads last step's entropy, so it disables pipelining.
+    pipeline_ok = cfg.pipeline and not cfg.adaptive_beta
+
+    def is_boundary(ts: int) -> bool:
+        if eval_fn and ts > 0 and ts % cfg.eval_freq == 0:
+            return True
+        if cfg.checkpoint_freq and ts > 0 and ts % cfg.checkpoint_freq == 0:
+            return True
+        return False
+
+    def finish_step(train_step, out, traj):
+        """All host-side work for one completed step: scalar fetch, EMA/beta
+        bookkeeping, logging/printing/viz, eval-in-train, checkpoints."""
+        nonlocal current_beta, highest_score, env_steps_total
+        nonlocal best_game_episode, best_eval_avg, key
 
         # Single packed transfer of every per-step scalar (tunnel round trips
         # per scalar would dominate wall clock on remote-attached TPUs).
@@ -671,7 +709,9 @@ def train(cfg: TrainConfig) -> dict:
         if eval_fn and train_step > 0 and train_step % cfg.eval_freq == 0:
             key, k_eval = jax.random.split(key)
             logger.print(f"[Step {train_step}] Evaluating model on {cfg.eval_games} games")
-            em = dict(zip(EVAL_KEYS, np.asarray(eval_fn(params, k_eval)).tolist()))
+            em = dict(zip(EVAL_KEYS, np.asarray(
+                eval_fn(params, k_eval,
+                        jnp.int32(train_step // cfg.eval_freq))).tolist()))
             eval_metrics = {
                 "eval/max_score": em["max_score"],
                 "eval/avg_score": em["avg_score"],
@@ -707,6 +747,37 @@ def train(cfg: TrainConfig) -> dict:
 
         if cfg.checkpoint_freq and train_step > 0 and train_step % cfg.checkpoint_freq == 0:
             save_train_state(train_step)
+
+    pending = None
+    for train_step in range(start_step, cfg.steps):
+        if use_mesh:
+            key, k_step = jax.random.split(key)
+            params, opt_state, moments, traj, out = fused_step(
+                params, opt_state, moments, k_step,
+                jnp.int32(train_step + 1), jnp.float32(current_beta),
+            )
+        else:
+            key, k_roll, k_proc = jax.random.split(key, 3)
+            traj = rollout_fn(params, k_roll, moments,
+                              jnp.int32(train_step + 1))
+            params, opt_state, moments, out = process_fn(
+                params, opt_state, traj, moments, k_proc,
+                jnp.int32(train_step + 1), jnp.float32(current_beta),
+            )
+
+        # Step N+1 is now enqueued on the device; do the PREVIOUS step's host
+        # work while it runs (see the pipelining comment above).
+        if pending is not None:
+            finish_step(*pending)
+            pending = None
+        if (pipeline_ok and not is_boundary(train_step)
+                and train_step < cfg.steps - 1):
+            pending = (train_step, out, traj)
+        else:
+            finish_step(train_step, out, traj)
+
+    if pending is not None:  # safety drain (unreachable by construction)
+        finish_step(*pending)
 
     elapsed = time.time() - t_start
     steps_run = cfg.steps - start_step
