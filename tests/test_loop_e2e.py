@@ -140,6 +140,71 @@ def test_search_eval_and_coefs(run_result):
     assert m["avg_score"] > 0 and len(m["scores"]) == 4
 
 
+def test_pipeline_equivalence(tmp_path):
+    """Host/device pipelining must be invisible in every logged artifact:
+    identical JSONL metric rows (minus timestamps), identical final params,
+    identical checkpoints vs --no-pipeline."""
+    import numpy as np
+
+    def run(sub, pipeline):
+        cfg = _cfg(tmp_path / sub, steps=4, eval_freq=2, eval_games=4,
+                   checkpoint_freq=2, pipeline=pipeline, viz_dir=None)
+        return cfg, train(cfg)
+
+    cfg_a, out_a = run("pipe", True)
+    cfg_b, out_b = run("sync", False)
+
+    for a, b in zip(
+        __import__("jax").tree.leaves(out_a["params"]),
+        __import__("jax").tree.leaves(out_b["params"]),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert out_a["highest_score"] == out_b["highest_score"]
+    assert out_a["env_steps_total"] == out_b["env_steps_total"]
+
+    def rows(sub):
+        f = sorted((tmp_path / sub / "logs").glob("train_mlp_*.jsonl"))[0]
+        out = []
+        for line in f.read_text().splitlines():
+            r = json.loads(line)
+            r.pop("timestamp", None)
+            out.append(r)
+        return out
+
+    assert rows("pipe") == rows("sync")
+
+
+def test_eval_streams_plural_by_default(tmp_path):
+    """Eval-in-train env streams: by default the eval round index is folded
+    into the env key (fresh reproducible spawns each eval, so best-checkpoint
+    selection can't overfit one stream); --eval-fixed-stream restores the
+    identical-stream reference-analog semantics."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tpu2048.train.loop import TrainConfig, build_model, make_eval_fn
+
+    cfg = _cfg(tmp_path, eval_freq=1, eval_games=8, scan_cap=64)
+    _, init_fn, apply_eval, _, _ = build_model(cfg)
+    params = init_fn(jax.random.key(0))
+    k = jax.random.key(5)
+
+    ev = make_eval_fn(cfg, apply_eval)
+    r1 = np.asarray(ev(params, k, jnp.int32(1)))
+    r2 = np.asarray(ev(params, k, jnp.int32(2)))
+    r1b = np.asarray(ev(params, k, jnp.int32(1)))
+    assert not np.array_equal(r1, r2)  # new stream per eval round
+    np.testing.assert_array_equal(r1, r1b)  # but reproducible
+
+    from dataclasses import replace
+
+    fixed = make_eval_fn(replace(cfg, eval_fixed_stream=True), apply_eval)
+    f1 = np.asarray(fixed(params, k, jnp.int32(1)))
+    f2 = np.asarray(fixed(params, k, jnp.int32(2)))
+    np.testing.assert_array_equal(f1, f2)  # index ignored: one fixed stream
+
+
 def test_expert_iteration_trains(tmp_path):
     """--expert-iter: expectimax-expert rollout + imitation objective runs
     end to end; the policy moves toward the expert's actions (the weighted

@@ -158,6 +158,9 @@ def expectimax_scores(apply_fn, params, boards: jnp.ndarray,
     only when the 1-ply ranking misorders the true top action out of the
     top k. The ROOT scores returned here are never pruned — all 4 actions
     get full-depth values (the caller needs them all to pick a move).
+    NOTE: inner max nodes only exist at depth >= 3 (at depth=2 the inner
+    ``state_values`` calls run at depth 1, below the pruning gate), so
+    ``prune_k`` has NO effect — neither speedup nor bias — for depth <= 2.
     """
     if moves is None:
         moves = engine.all_moves(boards)
