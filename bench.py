@@ -208,12 +208,23 @@ def bench_learner(batch_size: int = 512, S: int = 8192,
 
 
 def bench_train_step(episodes: int = 256, minibatch: int = 4096,
-                     repeats: int = 5) -> dict:
+                     repeats: int = 5, ckpt: str | None = None) -> dict:
     """Full end-to-end train step (fused rollout + advantage + augmentation +
     minibatched PPO with per-minibatch Muon/AdamW stepping) at the
     high-throughput config — the number BENCH.md's 'end-to-end' row makes a
     claim about. Times the same two jitted programs train/loop.py dispatches
-    per step, barriered by the packed-scalars fetch the real loop performs."""
+    per step, two ways:
+
+      * sync: fetch each step's packed scalars before dispatching the next —
+        the pre-round-3 loop behavior; pays a full host round trip per step.
+      * pipelined: dispatch all steps back-to-back, fetch afterwards — what
+        train/loop.py now does by default (host work for step N overlaps
+        device execution of N+1; numerics identical).
+
+    ``ckpt``: optional checkpoint dir for the policy params. A trained policy
+    plays ~4x longer games than the fresh-init policy, so steady-state
+    env-steps/s is much higher than the cold-start number — both are
+    reported; the headline uses the fresh-init (conservative) figure."""
     from tpu2048.algo import rollout as R
     from tpu2048.algo import update as U
     from tpu2048.train import loop as L
@@ -231,7 +242,12 @@ def bench_train_step(episodes: int = 256, minibatch: int = 4096,
     from tpu2048.algo import advantage as A
 
     model_cfg, init_fn, apply_eval, apply_train, labels_fn = L.build_model(cfg)
-    params = init_fn(jax.random.key(0))
+    if ckpt:
+        from tpu2048.train.evaluate import load_model_checkpoint
+
+        params, model_cfg, _ = load_model_checkpoint(ckpt)
+    else:
+        params = init_fn(jax.random.key(0))
     labels = labels_fn(params)
     ocfg = OptimizerConfig(learning_rate=cfg.learning_rate,
                            critic_lr=cfg.critic_lr)
@@ -251,11 +267,14 @@ def bench_train_step(episodes: int = 256, minibatch: int = 4096,
                                   jnp.float32(0.02))
         return p, o, m, out
 
+    env_idx = L.SCALAR_KEYS.index("env_steps")
+
     # Warm-up (compile both programs) with a hard fetch.
     p, o, m = params, opt_state, moments
     p, o, m, out = one_step(p, o, m, jax.random.key(1), 1)
     _fetch(out["scalars"])
 
+    # Sync mode: per-step barrier, exactly the --no-pipeline loop.
     best, env_steps = float("inf"), 0
     per_run = []
     for i in range(repeats):
@@ -263,16 +282,32 @@ def bench_train_step(episodes: int = 256, minibatch: int = 4096,
         p, o, m, out = one_step(p, o, m, jax.random.key(2 + i), 2 + i)
         sc = np.asarray(out["scalars"])  # the barrier the real loop pays
         dt = time.perf_counter() - t0
-        es = int(sc[L.SCALAR_KEYS.index("env_steps")])
+        es = int(sc[env_idx])
         per_run.append(dict(seconds=round(dt, 4), env_steps=es))
         if dt < best:
             best, env_steps = dt, es
+
+    # Pipelined mode: dispatch every step, then fetch — the default loop.
+    n_pipe = max(repeats, 3)
+    t0 = time.perf_counter()
+    outs = []
+    for i in range(n_pipe):
+        p, o, m, out = one_step(p, o, m, jax.random.key(100 + i), 10 + i)
+        outs.append(out)
+    pipe_env_steps = sum(int(np.asarray(out["scalars"])[env_idx])
+                         for out in outs)
+    dt_pipe = time.perf_counter() - t0
+
     return dict(
-        env_steps_per_second=env_steps / best,
-        seconds_per_step=round(best, 4),
-        env_steps_per_train_step=env_steps,
+        env_steps_per_second=pipe_env_steps / dt_pipe,
+        seconds_per_step=round(dt_pipe / n_pipe, 4),
+        env_steps_per_train_step=pipe_env_steps // n_pipe,
+        sync_env_steps_per_second=env_steps / best,
+        sync_seconds_per_step=round(best, 4),
+        pipelined_steps_timed=n_pipe,
         episodes=episodes, minibatch=minibatch,
         model="mlp_h196_l2", kl_diagnostic=False,
+        policy=("trained:" + ckpt) if ckpt else "fresh-init",
         runs=per_run,
     )
 
@@ -284,18 +319,25 @@ def main(tiny: bool = False) -> dict:
     execute this driver-facing entry point on CPU every run (round 2's bench
     rotted silently because nothing imported it — VERDICT r2 item 1).
     """
+    import os
+
     if tiny:
         env_sps = bench_env_only(batch=8, iters=4)
         ro = bench_fused_rollout(batch=8, steps=16)
         learner = bench_learner(8, S=32, kl_diagnostic=True)
         learner_fast = bench_learner(16, S=32, kl_diagnostic=False)
         e2e = bench_train_step(episodes=8, minibatch=32, repeats=1)
+        e2e_ss = None
     else:
         env_sps = bench_env_only()
         ro = bench_fused_rollout()
         learner = bench_learner(512, kl_diagnostic=True)
         learner_fast = bench_learner(4096, S=32768, kl_diagnostic=False)
         e2e = bench_train_step()
+        # Steady-state: the committed round-1 trained policy plays ~4x longer
+        # games, which is what a real (warm) training run sustains.
+        e2e_ss = (bench_train_step(ckpt="checkpoints_ht")
+                  if os.path.isdir("checkpoints_ht") else None)
     err = lambda s: print(s, file=sys.stderr)
     err(f"# fused rollout (env+policy): {ro['env_steps_per_second']:,.0f} "
         f"env-steps/s ({ro['total_moves']} moves / {ro['trip_count']} trips "
@@ -307,8 +349,14 @@ def main(tiny: bool = False) -> dict:
     err(f"# learner bs=4096 no-KL:      {learner_fast['updates_per_second']:,.1f} updates/s "
         f"({learner_fast['samples_per_second']:,.0f} samples/s)")
     err(f"# end-to-end train step (HT): {e2e['env_steps_per_second']:,.0f} "
-        f"env-steps/s ({e2e['seconds_per_step']}s/step, "
+        f"env-steps/s pipelined / {e2e['sync_env_steps_per_second']:,.0f} sync "
+        f"({e2e['seconds_per_step']}s/step, "
         f"{e2e['env_steps_per_train_step']} env steps/step)")
+    if e2e_ss:
+        err(f"# end-to-end steady-state:    {e2e_ss['env_steps_per_second']:,.0f} "
+            f"env-steps/s pipelined ({e2e_ss['seconds_per_step']}s/step, "
+            f"{e2e_ss['env_steps_per_train_step']} env steps/step, "
+            f"{e2e_ss['policy']})")
     record = {
         "metric": "fused_rollout_env_steps_per_second",
         "value": round(ro["env_steps_per_second"]),
@@ -320,6 +368,7 @@ def main(tiny: bool = False) -> dict:
             "learner_bs512_kl": learner,
             "learner_bs4096_nokl": learner_fast,
             "train_step_e2e_ht": e2e,
+            "train_step_e2e_steady_state": e2e_ss,
             "device": jax.devices()[0].device_kind,
         },
     }

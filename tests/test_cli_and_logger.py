@@ -91,3 +91,67 @@ def test_metric_logger(tmp_path, capsys):
     lg2 = MetricLogger(log_dir=str(tmp_path), experiment_name="train_test")
     assert "002" in lg2.log_file.name
     lg2.close()
+
+
+def test_wandb_path_with_stub(tmp_path, monkeypatch):
+    """The wandb fan-out (never exercisable in this image — no egress) against
+    a stub module: init/log/finish call pattern mirrors the reference's
+    (/root/reference/logger.py:70-85, 141-145, 153-160)."""
+    import sys
+    import types
+
+    from tpu2048.utils import MetricLogger
+
+    calls = {"init": [], "log": [], "finish": 0}
+    stub = types.ModuleType("wandb")
+
+    def _init(**kw):
+        calls["init"].append(kw)
+        return types.SimpleNamespace(id="stub-run")
+
+    stub.init = _init
+    stub.log = lambda metrics, step=None: calls["log"].append((metrics, step))
+
+    def _finish():
+        calls["finish"] += 1
+
+    stub.finish = _finish
+    monkeypatch.setitem(sys.modules, "wandb", stub)
+
+    cfg = {"steps": 3, "learning_rate": 1e-3}
+    with MetricLogger(log_dir=str(tmp_path), experiment_name="train_wb",
+                      use_wandb=True, wandb_project="proj2048",
+                      wandb_run_name="run-x", wandb_config=cfg) as lg:
+        assert lg.use_wandb and lg.wandb_run is not None
+        lg.log({"loss": 0.25}, step=1)
+        lg.log({"loss": 0.125, "score": 42}, step=2, verbose=False)
+
+    assert calls["init"] == [dict(project="proj2048", name="run-x",
+                                  config=cfg, reinit=True)]
+    assert calls["log"] == [({"loss": 0.25}, 1),
+                            ({"loss": 0.125, "score": 42}, 2)]
+    assert calls["finish"] == 1  # close() finishes the run exactly once
+
+
+def test_wandb_missing_module_disables_cleanly(tmp_path, monkeypatch):
+    """ImportError path: use_wandb silently downgrades with a warning
+    (reference logger.py:81-85) instead of crashing the trainer."""
+    import builtins
+    import sys
+
+    from tpu2048.utils import MetricLogger
+
+    monkeypatch.delitem(sys.modules, "wandb", raising=False)
+    real_import = builtins.__import__
+
+    def deny_wandb(name, *a, **k):
+        if name == "wandb":
+            raise ImportError("no wandb in image")
+        return real_import(name, *a, **k)
+
+    monkeypatch.setattr(builtins, "__import__", deny_wandb)
+    lg = MetricLogger(log_dir=str(tmp_path), experiment_name="train_wb2",
+                      use_wandb=True)
+    assert lg.use_wandb is False and lg.wandb_run is None
+    lg.log({"x": 1}, step=0)  # must not touch wandb
+    lg.close()
