@@ -112,3 +112,33 @@ def test_determinism_and_env_key_split():
     # different env stream -> different initial boards
     t4 = f(PARAMS, k, jax.random.key(8))
     assert (_g(t1.board_before)[0] != _g(t4.board_before)[0]).any()
+
+
+def test_expert_bf16_labels_agree_on_decisive_states():
+    """expert_bf16 halves leaf-eval cost; its labels must agree with the f32
+    expert except on near-tie states (whose target gap is ~0 anyway)."""
+    params = mlp.init(jax.random.key(3), CFG, zero_heads=False)
+    kw = dict(expert_depth=1, expert_mix=0.5, expert_tau=0.02)
+    f32 = jax.jit(lambda p, k: R.rollout(APPLY, p, k, N, T, **kw))(
+        params, jax.random.key(7))
+    b16 = jax.jit(lambda p, k: R.rollout(APPLY, p, k, N, T, **kw,
+                                         expert_bf16=True))(
+        params, jax.random.key(7))
+    assert _g(b16.ended).all()
+    assert np.isfinite(_g(b16.target_probs)).all()
+
+    # Compare step-by-step while both trajectories traverse the same states
+    # (they diverge once a bf16 label flip changes an expert-driven env's
+    # move). Decisive agreement is checked on the f32 target gap.
+    v = _g(f32.valid) & _g(b16.valid)
+    same_state = (_g(f32.board_before) == _g(b16.board_before)).all(-1).all(-1)
+    m = v & same_state
+    assert m.sum() > 100
+    ta_f, ta_b = _g(f32.target_action), _g(b16.target_action)
+    tp = _g(f32.target_probs)
+    top2 = np.sort(tp, axis=-1)[..., ::-1]
+    gap = top2[..., 0] - top2[..., 1]
+    decisive = m & (gap > 0.2)
+    assert decisive.sum() > 20
+    agree = (ta_f == ta_b)[decisive].mean()
+    assert agree > 0.97, agree

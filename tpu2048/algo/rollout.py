@@ -118,7 +118,8 @@ def rollout(apply_fn, params, key: jax.Array, num_envs: int, max_steps: int,
             env_key: jax.Array | None = None, greedy: bool = False,
             expert_depth: int = 0, expert_coefs=None,
             expert_mix: float = 1.0, expert_tau: float = 0.0,
-            expert_apply=None, expert_params=None) -> Trajectory:
+            expert_apply=None, expert_params=None,
+            expert_bf16: bool = False) -> Trajectory:
     """Play ``num_envs`` games to completion (or ``max_steps``).
 
     ``apply_fn(params, inputs) -> (logits, value)`` must be the eval-mode
@@ -151,8 +152,23 @@ def rollout(apply_fn, params, key: jax.Array, num_envs: int, max_steps: int,
     critic/moments miscalibrate -> expert labels degrade -> imitating worse
     labels accelerates the drift). A frozen teacher makes the objective plain
     DAgger against a FIXED expert: supervised, stationary, stable.
+
+    ``expert_bf16=True`` runs the expert's leaf/value forwards in bfloat16.
+    The leaf evals dominate expert-rollout wall clock (hundreds of thousands
+    of tiny critic forwards per trip); bf16 doubles their MXU rate. Labels
+    flip only where the top-2 scores sit within bf16 noise — exactly the
+    near-ties whose CE weight the decisiveness gap already sends to ~0.
     """
     T, N = max_steps, num_envs
+    e_apply_prep, e_params_prep = expert_apply, expert_params
+    if expert_depth > 0 and expert_bf16:
+        _inner = expert_apply if expert_apply is not None else apply_fn
+        e_apply_prep = lambda p, x: _inner(p, x.astype(jnp.bfloat16))
+        e_params_prep = jax.tree.map(
+            lambda a: (a.astype(jnp.bfloat16)
+                       if jnp.issubdtype(jnp.asarray(a).dtype, jnp.floating)
+                       else a),
+            expert_params if expert_params is not None else params)
     if env_key is None:
         key, env_key = jax.random.split(key)
     env_key, reset_key = jax.random.split(env_key)
@@ -191,10 +207,11 @@ def rollout(apply_fn, params, key: jax.Array, num_envs: int, max_steps: int,
 
             coefs = (expert_coefs if expert_coefs is not None
                      else SRCH.SearchCoefs())
-            e_apply = expert_apply if expert_apply is not None else apply_fn
-            e_params = expert_params if expert_params is not None else params
+            e_apply = e_apply_prep if e_apply_prep is not None else apply_fn
+            e_params = e_params_prep if e_params_prep is not None else params
             scores = SRCH.expectimax_scores(
-                e_apply, e_params, boards, moves, coefs, expert_depth)
+                e_apply, e_params, boards, moves, coefs, expert_depth
+            ).astype(jnp.float32)
             target = jnp.argmax(scores, axis=-1).astype(jnp.int32)
             if expert_tau > 0:
                 # Soft distillation target: temperature in sigma units, so a

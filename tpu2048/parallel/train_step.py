@@ -120,7 +120,8 @@ def make_sharded_train_step(mesh: Mesh, cfg, apply_eval, apply_train, labels,
                                  expert_mix=getattr(cfg, "expert_mix", 1.0),
                                  expert_tau=getattr(cfg, "expert_tau", 0.0),
                                  expert_apply=e_apply,
-                                 expert_params=e_params)
+                                 expert_params=e_params,
+                                 expert_bf16=getattr(cfg, "expert_bf16", False))
             else:
                 from ..algo import search as SRCH
 
@@ -132,7 +133,8 @@ def make_sharded_train_step(mesh: Mesh, cfg, apply_eval, apply_train, labels,
                                  expert_depth=cfg.expert_depth,
                                  expert_coefs=coefs,
                                  expert_mix=getattr(cfg, "expert_mix", 1.0),
-                                 expert_tau=getattr(cfg, "expert_tau", 0.0))
+                                 expert_tau=getattr(cfg, "expert_tau", 0.0),
+                                 expert_bf16=getattr(cfg, "expert_bf16", False))
         else:
             traj = R.rollout(apply_eval, params, k_roll, local_envs, T)
         new_params, new_opt_state, new_moments, outputs = process(

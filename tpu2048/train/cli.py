@@ -116,6 +116,10 @@ def _add_train_flags(p: argparse.ArgumentParser) -> None:
              "coefs from its train_state moments). Unset = live learner "
              "drives the search, which couples teacher to student drift "
              "and measurably implodes; prefer a frozen src")
+    add("--expert-bf16", dest="expert_bf16", action="store_true",
+        help="Run the expert's search leaf forwards in bfloat16 (~2x expert "
+             "rollout throughput; labels flip only on near-tie states whose "
+             "CE weight the decisiveness gap already zeroes)")
     add("--anchor-kl", dest="anchor_kl", type=float, default=0.0,
         help="KL(anchor || pi) trust-region strength vs the run-start "
              "(warm-started) policy; guards distillation against trading "

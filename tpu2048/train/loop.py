@@ -136,6 +136,9 @@ class TrainConfig:
     # (post-resume warm start). 0 = off. Guards distillation against trading
     # away warm-start competence on underrepresented states (algo/update.py).
     anchor_kl: float = 0.0
+    # Run the expert's leaf/value forwards in bfloat16 (~2x expert-rollout
+    # throughput; labels flip only on gap~0 ties — rollout docstring).
+    expert_bf16: bool = False
 
     @property
     def rollout_cap(self) -> int:
@@ -572,7 +575,8 @@ def train(cfg: TrainConfig) -> dict:
                                      expert_mix=cfg.expert_mix,
                                      expert_tau=cfg.expert_tau,
                                      expert_apply=e_apply,
-                                     expert_params=ep)
+                                     expert_params=ep,
+                                     expert_bf16=cfg.expert_bf16)
 
                 _roll_jit = jax.jit(_roll)
                 rollout_fn = lambda p, k, m, ts: _roll_jit(p, k, m, ts,
@@ -590,7 +594,8 @@ def train(cfg: TrainConfig) -> dict:
                                      expert_depth=cfg.expert_depth,
                                      expert_coefs=coefs,
                                      expert_mix=cfg.expert_mix,
-                                     expert_tau=cfg.expert_tau)
+                                     expert_tau=cfg.expert_tau,
+                                     expert_bf16=cfg.expert_bf16)
 
                 rollout_fn = jax.jit(_roll)
         else:
