@@ -328,6 +328,7 @@ def main(tiny: bool = False) -> dict:
         learner_fast = bench_learner(16, S=32, kl_diagnostic=False)
         e2e = bench_train_step(episodes=8, minibatch=32, repeats=1)
         e2e_ss = None
+        e2e_lg = None
     else:
         env_sps = bench_env_only()
         ro = bench_fused_rollout()
@@ -337,6 +338,11 @@ def main(tiny: bool = False) -> dict:
         # Steady-state: the committed round-1 trained policy plays ~4x longer
         # games, which is what a real (warm) training run sustains.
         e2e_ss = (bench_train_step(ckpt="checkpoints_ht")
+                  if os.path.isdir("checkpoints_ht") else None)
+        # Large-batch HT config (1024 episodes/step): amortizes the rollout's
+        # straggler trips and the learner's per-update floor — the config
+        # that crosses the 1M env-steps/s end-to-end north star.
+        e2e_lg = (bench_train_step(episodes=1024, ckpt="checkpoints_ht")
                   if os.path.isdir("checkpoints_ht") else None)
     err = lambda s: print(s, file=sys.stderr)
     err(f"# fused rollout (env+policy): {ro['env_steps_per_second']:,.0f} "
@@ -357,6 +363,11 @@ def main(tiny: bool = False) -> dict:
             f"env-steps/s pipelined ({e2e_ss['seconds_per_step']}s/step, "
             f"{e2e_ss['env_steps_per_train_step']} env steps/step, "
             f"{e2e_ss['policy']})")
+    if e2e_lg:
+        err(f"# end-to-end 1024ep steady:   {e2e_lg['env_steps_per_second']:,.0f} "
+            f"env-steps/s pipelined ({e2e_lg['seconds_per_step']}s/step, "
+            f"{e2e_lg['env_steps_per_train_step']} env steps/step, "
+            f"{e2e_lg['policy']})")
     record = {
         "metric": "fused_rollout_env_steps_per_second",
         "value": round(ro["env_steps_per_second"]),
@@ -369,6 +380,7 @@ def main(tiny: bool = False) -> dict:
             "learner_bs4096_nokl": learner_fast,
             "train_step_e2e_ht": e2e,
             "train_step_e2e_steady_state": e2e_ss,
+            "train_step_e2e_1024ep_steady_state": e2e_lg,
             "device": jax.devices()[0].device_kind,
         },
     }

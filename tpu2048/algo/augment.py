@@ -26,30 +26,26 @@ import jax.numpy as jnp
 from ..env import symmetry
 
 
-class AugmentedSteps(NamedTuple):
-    """(A, ...) flat augmented samples, A = 2 * num_slots."""
+class AugPlan(NamedTuple):
+    """Compact augmentation plan: WHICH real rows to augment and HOW, without
+    materializing the transformed copies. The learner materializes each
+    minibatch's augmented rows on the fly (update.py), so augmentation cost
+    scales with the samples actually trained on instead of the static slot
+    capacity (the materialized path measured ~30 ms/step at the HT config,
+    dominated by full-capacity gathers + board transforms of mostly-unused
+    slots)."""
 
-    board_before: jnp.ndarray  # (A, 4, 4) int8 (transformed)
-    board_after: jnp.ndarray  # (A, 4, 4) int8 (transformed result_state)
-    action: jnp.ndarray  # (A,) int32 (remapped)
-    action_mask: jnp.ndarray  # (A, 4) bool (permuted)
-    logprobs: jnp.ndarray  # (A, 4) f32 (permuted)
-    target_probs: jnp.ndarray  # (A, 4) f32 (permuted learning target)
-    advantage: jnp.ndarray  # (A,) f32 (reused from source)
-    G_norm: jnp.ndarray  # (A,) f32 (reused from source)
-    points: jnp.ndarray  # (A,) i32 (for the augmented pseudo-episode stats)
+    src: jnp.ndarray  # (A,) int32 — source row in the real flat arrays
+    transform: jnp.ndarray  # (A,) int32 — symmetry transform id
     valid: jnp.ndarray  # (A,) bool
 
 
-def augment(key: jax.Array, num_slots: int, num_to_sample, flat_valid,
-            board_before, board_after, action, action_mask, logprobs,
-            target_probs, advantage, G_norm, points) -> AugmentedSteps:
-    """Sample and transform augmented steps.
-
-    All step inputs are flat (S, ...) arrays with (S,) ``flat_valid``;
-    ``num_to_sample`` is the (traced) number of slots actually used =
-    int(valid_count * upsample_ratio), clipped to num_slots.
-    """
+def plan(key: jax.Array, num_slots: int, num_to_sample,
+         flat_valid) -> AugPlan:
+    """Sample the augmentation plan (reference train.py:776-808 semantics):
+    ``num_to_sample`` source steps drawn uniformly among valid rows (with
+    replacement), each emitting a mirror candidate (50%, random h/v) and a
+    rotation candidate (50%, random 90/180/270). A = 2 * num_slots."""
     S = flat_valid.shape[0]
     k_src, k_mflag, k_maxis, k_rflag, k_rot = jax.random.split(key, 5)
 
@@ -77,6 +73,40 @@ def augment(key: jax.Array, num_slots: int, num_to_sample, flat_valid,
     src2 = jnp.concatenate([src, src])
     valid = jnp.concatenate([slot_used & mirror_flag, slot_used & rotate_flag])
     valid = valid & jnp.take(flat_valid, src2)
+    return AugPlan(src=src2.astype(jnp.int32), transform=tf.astype(jnp.int32),
+                   valid=valid)
+
+
+class AugmentedSteps(NamedTuple):
+    """(A, ...) flat augmented samples, A = 2 * num_slots."""
+
+    board_before: jnp.ndarray  # (A, 4, 4) int8 (transformed)
+    board_after: jnp.ndarray  # (A, 4, 4) int8 (transformed result_state)
+    action: jnp.ndarray  # (A,) int32 (remapped)
+    action_mask: jnp.ndarray  # (A, 4) bool (permuted)
+    logprobs: jnp.ndarray  # (A, 4) f32 (permuted)
+    target_probs: jnp.ndarray  # (A, 4) f32 (permuted learning target)
+    advantage: jnp.ndarray  # (A,) f32 (reused from source)
+    G_norm: jnp.ndarray  # (A,) f32 (reused from source)
+    points: jnp.ndarray  # (A,) i32 (for the augmented pseudo-episode stats)
+    valid: jnp.ndarray  # (A,) bool
+
+
+def augment(key: jax.Array, num_slots: int, num_to_sample, flat_valid,
+            board_before, board_after, action, action_mask, logprobs,
+            target_probs, advantage, G_norm, points) -> AugmentedSteps:
+    """Sample and transform augmented steps.
+
+    All step inputs are flat (S, ...) arrays with (S,) ``flat_valid``;
+    ``num_to_sample`` is the (traced) number of slots actually used =
+    int(valid_count * upsample_ratio), clipped to num_slots.
+
+    (Materializes every slot up front — the train loop instead passes the
+    AugPlan into the Dataset and lets the learner materialize lazily per
+    minibatch; this eager form is kept for tests and external callers.)
+    """
+    p = plan(key, num_slots, num_to_sample, flat_valid)
+    src2, tf = p.src, p.transform
 
     bb = jnp.take(board_before, src2, axis=0).astype(jnp.int32)
     ba = jnp.take(board_after, src2, axis=0).astype(jnp.int32)
@@ -91,5 +121,5 @@ def augment(key: jax.Array, num_slots: int, num_to_sample, flat_valid,
         advantage=jnp.take(advantage, src2),
         G_norm=jnp.take(G_norm, src2),
         points=jnp.take(points, src2),
-        valid=valid,
+        valid=p.valid,
     )

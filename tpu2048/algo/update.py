@@ -25,13 +25,25 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from ..env import symmetry
 from ..models.encoding import encode_boards
 from ..ops import optimizer as opt
 from . import losses
 
 
 class Dataset(NamedTuple):
-    """Flat (S_cap, ...) training samples (real rollout steps + augmented)."""
+    """Flat training samples.
+
+    Two layouts:
+      * Materialized (``aug_src is None``): every array field has S_cap rows
+        (real rollout steps + materialized augmented copies), ``valid`` too.
+      * Lazy augmentation (``aug_src``/``aug_tf`` set): array fields hold the
+        S_real REAL rows only; ``valid`` spans S_cap = S_real + A. A virtual
+        row r >= S_real is ``symmetry transform aug_tf[r - S_real]`` applied
+        to real row ``aug_src[r - S_real]`` — materialized per minibatch by
+        the learner, so augmentation cost scales with samples trained on,
+        not slot capacity (advantage/G_norm are reused unchanged from the
+        source step, reference train.py:774-881)."""
 
     board_before: jnp.ndarray  # (S, 4, 4) int8 — encoded lazily per minibatch
     action: jnp.ndarray  # (S,) int32
@@ -40,7 +52,9 @@ class Dataset(NamedTuple):
     G_norm: jnp.ndarray  # (S,) f32
     logprobs: jnp.ndarray  # (S, 4) f32
     target_probs: jnp.ndarray  # (S, 4) f32 — imitation target distribution
-    valid: jnp.ndarray  # (S,) bool
+    valid: jnp.ndarray  # (S_cap,) bool
+    aug_src: jnp.ndarray | None = None  # (A,) int32 — lazy-augmentation plan
+    aug_tf: jnp.ndarray | None = None  # (A,) int32
 
 
 class OptimizeStats(NamedTuple):
@@ -132,18 +146,24 @@ def make_optimize_fn(apply_fn, labels, opt_config: opt.OptimizerConfig,
 
         for _ in range(epochs):
             k_perm, key_e, carry["key"] = jax.random.split(carry["key"], 3)
-            # Shuffle valid samples to the front.
+            # Shuffle valid samples to the front — as a PERMUTATION OF
+            # INDICES only. Each minibatch gathers its own batch_size rows
+            # inside the loop body, so data movement scales with the samples
+            # actually trained on (S), not the static dataset capacity
+            # (S_cap is T*N + augmentation slots; at the HT config the
+            # up-front full-capacity gather of all 8 arrays measured ~35 ms
+            # per step while touching mostly invalid rows).
             rnd = jax.random.uniform(k_perm, (S_cap,))
             rnd = jnp.where(dataset.valid, rnd, 2.0)
             perm = jnp.argsort(rnd)
             ds = dict(
-                board=jnp.take(dataset.board_before, perm, axis=0),
-                action=jnp.take(dataset.action, perm),
-                mask=jnp.take(dataset.action_mask, perm, axis=0),
-                advantage=jnp.take(dataset.advantage, perm),
-                rtg=jnp.take(dataset.G_norm, perm),
-                logprobs=jnp.take(dataset.logprobs, perm, axis=0),
-                target_probs=jnp.take(dataset.target_probs, perm, axis=0),
+                board=dataset.board_before,
+                action=dataset.action,
+                mask=dataset.action_mask,
+                advantage=dataset.advantage,
+                rtg=dataset.G_norm,
+                logprobs=dataset.logprobs,
+                target_probs=dataset.target_probs,
             )
 
             def mb_cond(c):
@@ -159,10 +179,36 @@ def make_optimize_fn(apply_fn, labels, opt_config: opt.OptimizerConfig,
                 logical_start = mb * batch_size
                 start = jnp.clip(logical_start, 0,
                                  jnp.maximum(S_cap - batch_size, 0))
-                batch = {
-                    k: jax.lax.dynamic_slice_in_dim(v, start, batch_size, axis=0)
-                    for k, v in ds.items()
-                }
+                rows = jax.lax.dynamic_slice_in_dim(perm, start, batch_size)
+                if dataset.aug_src is not None:
+                    # Lazy augmentation: rows >= S_real are virtual — gather
+                    # their SOURCE real row and apply the planned symmetry
+                    # transform to just this minibatch (identity transform on
+                    # real rows is an exact no-op gather).
+                    S_real = dataset.board_before.shape[0]
+                    A = dataset.aug_src.shape[0]
+                    is_aug = rows >= S_real
+                    a_idx = jnp.clip(rows - S_real, 0, max(A - 1, 0))
+                    src = jnp.where(is_aug, jnp.take(dataset.aug_src, a_idx),
+                                    rows)
+                    tf = jnp.where(is_aug, jnp.take(dataset.aug_tf, a_idx),
+                                   symmetry.IDENTITY)
+                    raw = {k: jnp.take(v, src, axis=0) for k, v in ds.items()}
+                    batch = dict(
+                        raw,
+                        board=symmetry.transform_board(raw["board"], tf),
+                        action=symmetry.transform_action(
+                            raw["action"].astype(jnp.int32), tf),
+                        mask=symmetry.transform_action_vector(raw["mask"], tf),
+                        logprobs=symmetry.transform_action_vector(
+                            raw["logprobs"], tf),
+                        target_probs=symmetry.transform_action_vector(
+                            raw["target_probs"], tf),
+                    )
+                else:
+                    batch = {
+                        k: jnp.take(v, rows, axis=0) for k, v in ds.items()
+                    }
                 idx = start + jnp.arange(batch_size)
                 weights = ((idx >= logical_start) & (idx < S)).astype(jnp.float32)
                 k_drop, k_kl, new_key = jax.random.split(c["key"], 3)

@@ -44,6 +44,22 @@ PERM = np.empty_like(ACTION_MAP)
 for _t in range(NUM_TRANSFORMS):
     PERM[_t, ACTION_MAP[_t]] = np.arange(4)
 
+# CELL_PERM[t, j] = flat old cell index whose value lands at flat new cell j.
+# Built by pushing the index board through each transform once at import time;
+# a per-board transform is then ONE 16-wide take_along_axis instead of
+# materializing all 6 transformed variants and selecting (the variant stack
+# measured ~14 ms per call at the HT config's 262k augmented rows — it was
+# the single largest op in the train step).
+_I = np.arange(16, dtype=np.int32).reshape(4, 4)
+CELL_PERM = np.stack([
+    _I,
+    _I[:, ::-1],
+    _I[::-1, :],
+    np.rot90(_I, k=-1),
+    np.rot90(_I, k=2),
+    np.rot90(_I, k=1),
+]).reshape(NUM_TRANSFORMS, 16)
+
 
 def transform_board(boards: jnp.ndarray, transform: jnp.ndarray) -> jnp.ndarray:
     """Apply a per-board symmetry transform.
@@ -52,18 +68,10 @@ def transform_board(boards: jnp.ndarray, transform: jnp.ndarray) -> jnp.ndarray:
     match the reference: mirror 'horizontal' flips columns, 'vertical' flips
     rows (game.py:508-535); rotations are clockwise (game.py:537-590).
     """
-    variants = jnp.stack(
-        [
-            boards,
-            boards[..., :, ::-1],
-            boards[..., ::-1, :],
-            jnp.rot90(boards, k=-1, axes=(-2, -1)),
-            jnp.rot90(boards, k=2, axes=(-2, -1)),
-            jnp.rot90(boards, k=1, axes=(-2, -1)),
-        ]
-    )  # (6, ...B, 4, 4)
-    sel = transform[None, ..., None, None]
-    return jnp.squeeze(jnp.take_along_axis(variants, sel, axis=0), axis=0)
+    flat = boards.reshape(boards.shape[:-2] + (16,))
+    perm = jnp.asarray(CELL_PERM)[transform]  # (...B, 16)
+    out = jnp.take_along_axis(flat, perm.astype(jnp.int32), axis=-1)
+    return out.reshape(boards.shape)
 
 
 def transform_action(action: jnp.ndarray, transform: jnp.ndarray) -> jnp.ndarray:

@@ -227,25 +227,24 @@ def make_process_fn(cfg: TrainConfig, apply_train, labels, optimize_fn,
                 (n_valid.astype(jnp.float32) * cfg.upsample_ratio).astype(jnp.int32),
                 num_slots,
             )
-            aug = AUG.augment(
-                k_aug, num_slots, num_to_sample, flat_valid,
-                fb(traj.board_before), fb(traj.board_after),
-                fb(traj.target_action), fb(traj.action_mask), fb(traj.logprobs),
-                fb(traj.target_probs),
-                fb(adv["advantage"]), fb(adv["G_norm"]), fb(traj.points),
-            )
+            aug_plan = AUG.plan(k_aug, num_slots, num_to_sample, flat_valid)
+            # Lazy-augmentation dataset: the real rows plus the compact plan;
+            # the learner materializes each minibatch's augmented rows on the
+            # fly (update.py) — no full-capacity transformed copies.
             dataset = U.Dataset(
-                board_before=jnp.concatenate([fb(traj.board_before), aug.board_before]),
-                action=jnp.concatenate([fb(traj.target_action).astype(jnp.int32), aug.action]),
-                action_mask=jnp.concatenate([fb(traj.action_mask), aug.action_mask]),
-                advantage=jnp.concatenate([fb(adv["advantage"]), aug.advantage]),
-                G_norm=jnp.concatenate([fb(adv["G_norm"]), aug.G_norm]),
-                logprobs=jnp.concatenate([fb(traj.logprobs), aug.logprobs]),
-                target_probs=jnp.concatenate([fb(traj.target_probs),
-                                              aug.target_probs]),
-                valid=jnp.concatenate([flat_valid, aug.valid]),
+                board_before=fb(traj.board_before),
+                action=fb(traj.target_action).astype(jnp.int32),
+                action_mask=fb(traj.action_mask),
+                advantage=fb(adv["advantage"]),
+                G_norm=fb(adv["G_norm"]),
+                logprobs=fb(traj.logprobs),
+                target_probs=fb(traj.target_probs),
+                valid=jnp.concatenate([flat_valid, aug_plan.valid]),
+                aug_src=aug_plan.src,
+                aug_tf=aug_plan.transform,
             )
-            aug_valid, aug_points = aug.valid, aug.points
+            aug_valid = aug_plan.valid
+            aug_points = jnp.take(fb(traj.points), aug_plan.src)
         else:
             dataset = U.Dataset(
                 board_before=fb(traj.board_before),
