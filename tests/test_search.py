@@ -247,3 +247,19 @@ def test_search_rollout_depth3_pruned_completes(model):
         apply_fn, params, 1, 6, jax.random.key(9), coefs=COEFS, depth=3,
         prune_k=2)
     assert int(nm[0]) > 0 and int(pts[0]) >= 0
+
+
+def test_host_search_play_matches_jitted_rollout(model):
+    """_search_play_host (the depth>=3 eval driver: host move loop over a
+    jitted per-move scorer) must reproduce search_rollout's games exactly on
+    the same env stream — same per-game points and final boards."""
+    from tpu2048.train.evaluate import _search_play_host
+
+    params, apply_fn = model
+    key = jax.random.key(42)
+    pts_j, final_j, _ = SRCH.search_rollout(
+        apply_fn, params, 4, 64, key, coefs=COEFS, depth=1)
+    pts_h, final_h = _search_play_host(
+        apply_fn, params, 4, 64, key, COEFS, depth=1, prune_k=0)
+    np.testing.assert_array_equal(np.asarray(pts_j), np.asarray(pts_h))
+    np.testing.assert_array_equal(np.asarray(final_j), np.asarray(final_h))

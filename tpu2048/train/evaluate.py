@@ -122,6 +122,44 @@ def load_search_coefs(path):
         return SearchCoefs()
 
 
+def _search_play_host(apply_eval, params, n: int, max_steps: int, env_key,
+                      coefs, depth: int, prune_k: int):
+    """Play ``n`` games with expectimax action selection, the move loop on
+    the host: one jitted (score + argmax + step) program per move. Same env
+    semantics as ``search_rollout`` (dead lanes keep their final board and
+    stop accumulating). Returns (points (n,), final boards (n,4,4))."""
+    from functools import partial
+
+    from ..algo import search as SRCH
+
+    @partial(jax.jit, static_argnames=("d", "pk"))
+    def one_move(p, boards, alive, points, num_moves, k_spawn, d, pk):
+        moves = engine.all_moves(boards)
+        scores = SRCH.expectimax_scores(apply_eval, p, boards, moves, coefs,
+                                        d, pk)
+        action = jnp.argmax(scores, axis=-1)
+        res = engine.step(boards, action, k_spawn, moves=moves)
+        alive = alive & moves.any_legal
+        points = points + jnp.where(alive, res.reward, 0)
+        boards = jnp.where(alive[:, None, None], res.board, boards)
+        num_moves = num_moves + alive.astype(jnp.int32)
+        return boards, alive & ~res.done, points, num_moves
+
+    k_reset, k_env = jax.random.split(env_key)
+    boards = engine.reset(k_reset, (n,))
+    alive = jnp.ones((n,), jnp.bool_)
+    points = jnp.zeros((n,), jnp.int32)
+    num_moves = jnp.zeros((n,), jnp.int32)
+    for _ in range(max_steps):
+        k_env, k_spawn = jax.random.split(k_env)
+        boards, alive, points, num_moves = one_move(
+            params, boards, alive, points, num_moves, k_spawn,
+            depth, prune_k)
+        if not bool(np.asarray(alive).any()):
+            break
+    return points, boards
+
+
 def run_search_eval(params, model_cfg, model_type, games: int,
                     max_steps: int = 4096, env_seed: int = 12345,
                     coefs=None, depth: int = 1, prune_k: int = 0) -> dict:
@@ -134,7 +172,14 @@ def run_search_eval(params, model_cfg, model_type, games: int,
     result (each chunk gets its own env stream, folded from ``env_seed``).
 
     ``prune_k`` bounds the deep fan-out of inner max nodes (top-k by 1-ply
-    score, algo/search.py) — the lever that makes depth>=3 tractable."""
+    score, algo/search.py) — the lever that makes depth>=3 tractable.
+
+    depth >= 3 additionally switches from the fully-jitted game loop
+    (``search_rollout``) to a HOST-driven move loop over a jitted per-move
+    scorer: jitting the whole depth-3 tree (two nested ``lax.map`` sweeps)
+    inside the game ``while_loop`` crash-restarts the v5e TPU worker even at
+    8 concurrent games — the host loop bounds device-program size per move
+    and is deterministic on the same env stream."""
     from ..algo import search as SRCH
 
     apply_eval = _apply_fn(model_cfg, model_type)
@@ -143,11 +188,15 @@ def run_search_eval(params, model_cfg, model_type, games: int,
     base = jax.random.key(env_seed)
     for i in range(0, games, chunk):
         n = min(chunk, games - i)
-        pts, final, _ = SRCH.search_rollout(
-            apply_eval, params, n, max_steps,
-            jax.random.fold_in(base, i // chunk),
-            coefs=coefs if coefs is not None else SRCH.SearchCoefs(),
-            depth=depth, prune_k=prune_k)
+        k_chunk = jax.random.fold_in(base, i // chunk)
+        c = coefs if coefs is not None else SRCH.SearchCoefs()
+        if depth >= 3:
+            pts, final = _search_play_host(apply_eval, params, n, max_steps,
+                                           k_chunk, c, depth, prune_k)
+        else:
+            pts, final, _ = SRCH.search_rollout(
+                apply_eval, params, n, max_steps, k_chunk,
+                coefs=c, depth=depth, prune_k=prune_k)
         scores_l.append(np.asarray(pts))
         tiles_l.append(np.asarray(engine.max_tile_value(final.astype(jnp.int32))))
     scores = np.concatenate(scores_l)
