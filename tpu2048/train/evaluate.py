@@ -5,6 +5,8 @@ best-game search for demo export."""
 from __future__ import annotations
 
 import json
+import sys
+import time
 from pathlib import Path
 
 import numpy as np
@@ -150,12 +152,23 @@ def _search_play_host(apply_eval, params, n: int, max_steps: int, env_key,
     alive = jnp.ones((n,), jnp.bool_)
     points = jnp.zeros((n,), jnp.int32)
     num_moves = jnp.zeros((n,), jnp.int32)
-    for _ in range(max_steps):
+    t0 = time.time()
+    for mv in range(max_steps):
         k_env, k_spawn = jax.random.split(k_env)
         boards, alive, points, num_moves = one_move(
             params, boards, alive, points, num_moves, k_spawn,
             depth, prune_k)
-        if not bool(np.asarray(alive).any()):
+        alive_h = np.asarray(alive)
+        if mv % 100 == 99:
+            # A depth-3 chunk runs for many minutes with no other output —
+            # stderr heartbeat so a watcher (or a timeout post-mortem) can
+            # see the loop is advancing and at what per-move cost.
+            print(f"    [search host loop] move {mv + 1}: "
+                  f"{int(alive_h.sum())}/{n} alive, "
+                  f"avg points so far {float(np.asarray(points).mean()):.0f}, "
+                  f"{(time.time() - t0) / (mv + 1) * 1e3:.0f} ms/move",
+                  file=sys.stderr, flush=True)
+        if not bool(alive_h.any()):
             break
     return points, boards
 
@@ -199,6 +212,11 @@ def run_search_eval(params, model_cfg, model_type, games: int,
                 coefs=c, depth=depth, prune_k=prune_k)
         scores_l.append(np.asarray(pts))
         tiles_l.append(np.asarray(engine.max_tile_value(final.astype(jnp.int32))))
+        done_sc = np.concatenate(scores_l)
+        print(f"  [search eval] chunk {i // chunk + 1}/"
+              f"{(games + chunk - 1) // chunk} done: {len(done_sc)}/{games} "
+              f"games, running avg {done_sc.mean():.0f}, "
+              f"max {done_sc.max()}", file=sys.stderr, flush=True)
     scores = np.concatenate(scores_l)
     tiles = np.concatenate(tiles_l)
     return dict(
