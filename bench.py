@@ -368,24 +368,40 @@ def main(tiny: bool = False) -> dict:
             f"env-steps/s pipelined ({e2e_lg['seconds_per_step']}s/step, "
             f"{e2e_lg['env_steps_per_train_step']} env steps/step, "
             f"{e2e_lg['policy']})")
+    audit = {
+        "rollout": {k: v for k, v in ro.items() if k != "env_steps_per_second"},
+        "env_only_steps_per_second": round(env_sps),
+        "learner_bs512_kl": learner,
+        "learner_bs4096_nokl": learner_fast,
+        "train_step_e2e_ht": e2e,
+        "train_step_e2e_steady_state": e2e_ss,
+        "train_step_e2e_1024ep_steady_state": e2e_lg,
+        "device": jax.devices()[0].device_kind,
+    }
+    # The driver parses the LAST stdout line and its tail window truncates
+    # long lines (round 3's BENCH_r03.json came back ``parsed: null`` because
+    # the audit block rode inside the record). The final stdout line is
+    # therefore the compact record ONLY; the full audit goes to stderr and to
+    # BENCH_CLEAN.json next to this script.
     record = {
         "metric": "fused_rollout_env_steps_per_second",
         "value": round(ro["env_steps_per_second"]),
         "unit": "env-steps/s",
         "vs_baseline": round(ro["env_steps_per_second"] / BASELINE_ENV_STEPS_PER_S, 3),
-        "audit": {
-            "rollout": {k: v for k, v in ro.items() if k != "env_steps_per_second"},
-            "env_only_steps_per_second": round(env_sps),
-            "learner_bs512_kl": learner,
-            "learner_bs4096_nokl": learner_fast,
-            "train_step_e2e_ht": e2e,
-            "train_step_e2e_steady_state": e2e_ss,
-            "train_step_e2e_1024ep_steady_state": e2e_lg,
-            "device": jax.devices()[0].device_kind,
-        },
     }
-    print(json.dumps(record))
-    return record
+    err("# audit: " + json.dumps(audit))
+    if not tiny:  # tiny (test) runs must not clobber the committed artifact
+        try:
+            clean_path = os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "BENCH_CLEAN.json")
+            with open(clean_path, "w") as f:
+                json.dump({**record, "audit": audit}, f, indent=1)
+        except OSError as e:  # read-only checkout must not break the bench
+            err(f"# (could not write BENCH_CLEAN.json: {e})")
+    line = json.dumps(record)
+    assert len(line) < 1024, f"driver line too long ({len(line)} bytes)"
+    print(line)
+    return {**record, "audit": audit}
 
 
 if __name__ == "__main__":

@@ -16,9 +16,14 @@
 #
 # Usage: scripts/train_expF_wide.sh [steps] [wallclock_timeout_s]
 # --checkpoint-freq 25 banks progress; safe to kill + resume.
+#
+# --episodes 32, NOT 64: the depth-2 expert tree at 64 concurrent games
+# (4*64*32*4*32 ~ 524k critic leaves per move) inside the fused while_loop
+# crash-restarts the v5e TPU worker; 32 games (expD/expE's setting) runs
+# fine with or without --expert-bf16 (probed round 4, both ways).
 cd "$(dirname "$0")/.."
 timeout "${2:-25200}" \
-python train.py train --steps "${1:-600}" --episodes 64 --batch-size 4096 \
+python train.py train --steps "${1:-600}" --episodes 32 --batch-size 4096 \
   --lr 1e-3 --critic-lr 1e-3 -H 384 --num-layers 3 --gamma 0.995 \
   --entropy 0.001 --dropout 0.0 \
   --points 0.10 --mono 1.0 --critic 1.0 --rtg-beta 0.9 \

@@ -27,18 +27,20 @@ def test_bench_main_tiny(capsys):
     bench = _load_bench()
     record = bench.main(tiny=True)
 
-    # The driver contract: ONE JSON line on stdout with these keys.
+    # The driver contract: the LAST stdout line is ONE compact JSON record
+    # (the driver's tail window truncates long lines — round 3's audit-laden
+    # line came back ``parsed: null``). Audit rides on stderr + BENCH_CLEAN.
     out = capsys.readouterr().out.strip().splitlines()
     assert len(out) == 1
-    parsed = json.loads(out[0])
-    for key in ("metric", "value", "unit", "vs_baseline", "audit"):
-        assert key in parsed, key
+    assert len(out[-1]) < 1024, f"driver line too long ({len(out[-1])} bytes)"
+    parsed = json.loads(out[-1])
+    assert set(parsed) == {"metric", "value", "unit", "vs_baseline"}
     assert parsed["metric"] == "fused_rollout_env_steps_per_second"
     assert parsed["value"] > 0
-    assert parsed == json.loads(json.dumps(record))
+    assert {k: record[k] for k in parsed} == parsed
 
     # Audit block completeness — the fields the judge re-derives from.
-    audit = parsed["audit"]
+    audit = record["audit"]
     ro = audit["rollout"]
     for key in ("batch", "trip_count", "total_moves", "best_seconds",
                 "occupancy_pct", "model_mfu_pct", "runs"):

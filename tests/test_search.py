@@ -263,3 +263,50 @@ def test_host_search_play_matches_jitted_rollout(model):
         apply_fn, params, 4, 64, key, COEFS, depth=1, prune_k=0)
     np.testing.assert_array_equal(np.asarray(pts_j), np.asarray(pts_h))
     np.testing.assert_array_equal(np.asarray(final_j), np.asarray(final_h))
+
+
+def test_load_search_coefs_calibrated_from_real_checkpoint():
+    """The committed expA train_state must yield calibrated coefs (the
+    'Math matters' fix in BENCH.md depends on sigma/mu/shaping being read)."""
+    from tpu2048.train.evaluate import load_search_coefs
+
+    coefs = load_search_coefs("checkpoints_expA")
+    assert coefs.sigma != 1.0 or coefs.mu != 0.0, "fell back to pure-EV"
+    assert coefs.mono > 0.0  # expA trained with mono PBRS on
+
+
+def test_load_search_coefs_fallback_warns(tmp_path, capsys):
+    """Missing or corrupted train_state falls back to pure-EV coefs with a
+    LOUD stderr warning — never silently (VERDICT r3 weak #5)."""
+    from tpu2048.algo.search import SearchCoefs
+    from tpu2048.train.evaluate import load_search_coefs
+
+    # Missing checkpoint entirely.
+    coefs = load_search_coefs(tmp_path)
+    assert coefs == SearchCoefs()
+    err = capsys.readouterr().err
+    assert "WARNING" in err and "PURE-EV" in err.upper()
+
+    # Valid manifest but corrupted npz payload.
+    (tmp_path / "train_state.json").write_text('{"config": {}}')
+    (tmp_path / "train_state.npz").write_bytes(b"not a zip archive")
+    coefs = load_search_coefs(tmp_path)
+    assert coefs == SearchCoefs()
+    assert "WARNING" in capsys.readouterr().err
+
+
+def test_load_search_coefs_unexpected_error_propagates(tmp_path, monkeypatch):
+    """Only the narrow known-corruption set is swallowed; programming errors
+    must surface."""
+    import pytest
+
+    from tpu2048.train import evaluate as EV
+
+    (tmp_path / "train_state.json").write_text('{"config": {}}')
+
+    def boom(*a, **k):
+        raise RuntimeError("unexpected")
+
+    monkeypatch.setattr(EV.json, "load", boom)
+    with pytest.raises(RuntimeError, match="unexpected"):
+        EV.load_search_coefs(tmp_path)

@@ -97,6 +97,8 @@ def load_search_coefs(path):
     algo/search.py for the exact Bellman backup). Falls back to pure
     normalized-EV search (critic leaves, terminal masking, no shaping) for
     params-only checkpoints, where the critic's scale is unknown."""
+    import zipfile
+
     from ..algo.search import SearchCoefs
 
     p = Path(path)
@@ -120,7 +122,17 @@ def load_search_coefs(path):
             empt=float(cfg.get("emptiness_weight", 0.0)),
             sigma=sigma, mu=float(mu_hat),
             gamma=float(cfg.get("gamma", 0.99)))
-    except Exception:
+    except (FileNotFoundError, KeyError, json.JSONDecodeError,
+            zipfile.BadZipFile, ValueError, CKPT.CheckpointCorruptError) as e:
+        # A corrupted/renamed train_state must NOT silently degrade search
+        # (pure-EV leaves cost this checkpoint family ~15k avg at depth 2 —
+        # BENCH.md "Math matters"). Loud warning, narrow exception set only;
+        # anything else propagates.
+        print(f"WARNING: could not load search calibration from {p} "
+              f"({type(e).__name__}: {e}); falling back to PURE-EV search "
+              f"(uncalibrated critic leaves, no reward shaping) — search "
+              f"scores will NOT match the trained objective.",
+            file=sys.stderr, flush=True)
         return SearchCoefs()
 
 
@@ -152,22 +164,31 @@ def _search_play_host(apply_eval, params, n: int, max_steps: int, env_key,
     alive = jnp.ones((n,), jnp.bool_)
     points = jnp.zeros((n,), jnp.int32)
     num_moves = jnp.zeros((n,), jnp.int32)
-    t0 = time.time()
+    t_prev, mv_prev = time.time(), 0
     for mv in range(max_steps):
         k_env, k_spawn = jax.random.split(k_env)
         boards, alive, points, num_moves = one_move(
             params, boards, alive, points, num_moves, k_spawn,
             depth, prune_k)
         alive_h = np.asarray(alive)
+        if mv == 0:
+            # Move 0 includes the one_move JIT compile (minutes at depth 3);
+            # restart the clock so heartbeat ms/move is execution cost.
+            t_prev = time.time()
+            mv_prev = 1
         if mv % 100 == 99:
             # A depth-3 chunk runs for many minutes with no other output —
             # stderr heartbeat so a watcher (or a timeout post-mortem) can
-            # see the loop is advancing and at what per-move cost.
+            # see the loop is advancing and at what per-move cost. ms/move
+            # covers the window since the previous heartbeat (steady-state
+            # cost, excluding the first move's compile).
+            now = time.time()
             print(f"    [search host loop] move {mv + 1}: "
                   f"{int(alive_h.sum())}/{n} alive, "
                   f"avg points so far {float(np.asarray(points).mean()):.0f}, "
-                  f"{(time.time() - t0) / (mv + 1) * 1e3:.0f} ms/move",
-                  file=sys.stderr, flush=True)
+                  f"{(now - t_prev) / max(mv + 1 - mv_prev, 1) * 1e3:.0f} "
+                  f"ms/move", file=sys.stderr, flush=True)
+            t_prev, mv_prev = now, mv + 1
         if not bool(alive_h.any()):
             break
     return points, boards
