@@ -312,6 +312,109 @@ def bench_train_step(episodes: int = 256, minibatch: int = 4096,
     )
 
 
+def bench_train_step_packed(lanes: int = 256, horizon: int = 384,
+                            minibatch: int = 4096, repeats: int = 5,
+                            ckpt: str | None = None) -> dict:
+    """End-to-end train step in PACKED (auto-reset) mode: `lanes` persistent
+    environments advance exactly `horizon` steps per train step (fixed-length
+    scan, 100% lane occupancy by construction — every recorded step is a real
+    move that is trained on; episodes cut at the chunk boundary are
+    value-bootstrapped). The exact-episodes mode idles lanes at 31-38%
+    occupancy waiting for the longest game (see bench_fused_rollout's audit);
+    this is the designed fix (VERDICT r3 item 2, SURVEY.md §7.1 auto-reset).
+
+    env-steps/s here counts trained-on samples: lanes*horizon per step, with
+    zero discard."""
+    import jax.numpy as jnp
+
+    from tpu2048.algo import rollout as R
+    from tpu2048.algo import update as U
+    from tpu2048.ops import OptimizerConfig
+    from tpu2048.ops import optimizer as opt
+    from tpu2048.train import loop as L
+
+    cfg = L.TrainConfig(
+        steps=1, learning_rate=1e-3, critic_lr=1e-4, gamma=0.99,
+        entropy_strength=0.02, critic_strength=0.2,
+        packed=True, lanes=lanes, horizon=horizon,
+        batch_size=minibatch, hidden_size=196, num_layers=2,
+        points_weight=0.10, monotonicity_weight=1.0, rtg_beta=0.99,
+        warmup_steps=10, upsample_ratio=0.25, kl_diagnostic=False,
+    )
+    model_cfg, init_fn, apply_eval, apply_train, labels_fn = L.build_model(cfg)
+    if ckpt:
+        from tpu2048.train.evaluate import load_model_checkpoint
+
+        params, model_cfg, _ = load_model_checkpoint(ckpt)
+    else:
+        params = init_fn(jax.random.key(0))
+    labels = labels_fn(params)
+    ocfg = OptimizerConfig(learning_rate=cfg.learning_rate,
+                           critic_lr=cfg.critic_lr)
+    opt_state = opt.init(params, labels)
+    from tpu2048.algo import advantage as A
+
+    moments = A.RtgMoments.initial()
+    optimize_fn = U.make_optimize_fn(apply_train, labels, ocfg,
+                                     cfg.batch_size, cfg.ppo_epochs,
+                                     kl_diagnostic=False)
+    process_fn = L.make_process_fn(cfg, apply_train, labels, optimize_fn)
+    rollout_fn = jax.jit(lambda p, k, c: R.rollout_packed(
+        apply_eval, p, k, c, horizon))
+    carry = jax.jit(lambda k: R.init_env_carry(k, lanes))(jax.random.key(7))
+
+    def one_step(p, o, m, c, k, step):
+        k_roll, k_proc = jax.random.split(k)
+        traj, c = rollout_fn(p, k_roll, c)
+        p, o, m, out = process_fn(p, o, traj, m, k_proc, jnp.int32(step),
+                                  jnp.float32(0.02))
+        return p, o, m, c, out
+
+    # Warm-up (compile) + warm the env distribution a little.
+    p, o, m = params, opt_state, moments
+    p, o, m, carry, out = one_step(p, o, m, carry, jax.random.key(1), 1)
+    _fetch(out["scalars"])
+
+    # Sync mode: per-step barrier.
+    best = float("inf")
+    per_run = []
+    for i in range(repeats):
+        t0 = time.perf_counter()
+        p, o, m, carry, out = one_step(p, o, m, carry, jax.random.key(2 + i),
+                                       2 + i)
+        np.asarray(out["scalars"])
+        dt = time.perf_counter() - t0
+        per_run.append(dict(seconds=round(dt, 4)))
+        best = min(best, dt)
+
+    # Pipelined mode: dispatch all, fetch afterwards (the default loop).
+    n_pipe = max(repeats, 3)
+    t0 = time.perf_counter()
+    outs = []
+    for i in range(n_pipe):
+        p, o, m, carry, out = one_step(p, o, m, carry, jax.random.key(50 + i),
+                                       10 + i)
+        outs.append(out)
+    for out in outs:
+        np.asarray(out["scalars"])
+    dt_pipe = time.perf_counter() - t0
+
+    steps_per = lanes * horizon
+    return dict(
+        env_steps_per_second=steps_per * n_pipe / dt_pipe,
+        seconds_per_step=round(dt_pipe / n_pipe, 4),
+        env_steps_per_train_step=steps_per,
+        sync_env_steps_per_second=steps_per / best,
+        sync_seconds_per_step=round(best, 4),
+        pipelined_steps_timed=n_pipe,
+        lanes=lanes, horizon=horizon, minibatch=minibatch,
+        occupancy_pct=100.0,  # by construction: no lane ever idles
+        model="mlp_h196_l2", kl_diagnostic=False,
+        policy=("trained:" + ckpt) if ckpt else "fresh-init",
+        runs=per_run,
+    )
+
+
 def main(tiny: bool = False) -> dict:
     """Run every bench path and print the driver JSON line.
 
@@ -329,6 +432,9 @@ def main(tiny: bool = False) -> dict:
         e2e = bench_train_step(episodes=8, minibatch=32, repeats=1)
         e2e_ss = None
         e2e_lg = None
+        e2e_packed = bench_train_step_packed(lanes=8, horizon=16,
+                                             minibatch=32, repeats=1)
+        e2e_packed_lg = None
     else:
         env_sps = bench_env_only()
         ro = bench_fused_rollout()
@@ -344,6 +450,12 @@ def main(tiny: bool = False) -> dict:
         # that crosses the 1M env-steps/s end-to-end north star.
         e2e_lg = (bench_train_step(episodes=1024, ckpt="checkpoints_ht")
                   if os.path.isdir("checkpoints_ht") else None)
+        # Packed (auto-reset) mode at the 256-lane config: same lane count as
+        # the HT 256-episode config, horizon sized to the HT steady-state
+        # sample count (~96k env steps/step) — 100% occupancy, no discard.
+        e2e_packed = bench_train_step_packed(lanes=256, horizon=384)
+        # and a wide-lane config that amortizes per-trip dispatch latency
+        e2e_packed_lg = bench_train_step_packed(lanes=1024, horizon=256)
     err = lambda s: print(s, file=sys.stderr)
     err(f"# fused rollout (env+policy): {ro['env_steps_per_second']:,.0f} "
         f"env-steps/s ({ro['total_moves']} moves / {ro['trip_count']} trips "
@@ -368,6 +480,17 @@ def main(tiny: bool = False) -> dict:
             f"env-steps/s pipelined ({e2e_lg['seconds_per_step']}s/step, "
             f"{e2e_lg['env_steps_per_train_step']} env steps/step, "
             f"{e2e_lg['policy']})")
+    if e2e_packed:
+        err(f"# end-to-end PACKED {e2e_packed['lanes']}x{e2e_packed['horizon']}:"
+            f"   {e2e_packed['env_steps_per_second']:,.0f} env-steps/s "
+            f"pipelined ({e2e_packed['seconds_per_step']}s/step, "
+            f"{e2e_packed['env_steps_per_train_step']} env steps/step, "
+            f"occupancy {e2e_packed['occupancy_pct']}%)")
+    if e2e_packed_lg:
+        err(f"# end-to-end PACKED {e2e_packed_lg['lanes']}x"
+            f"{e2e_packed_lg['horizon']}: "
+            f"{e2e_packed_lg['env_steps_per_second']:,.0f} env-steps/s "
+            f"pipelined ({e2e_packed_lg['seconds_per_step']}s/step)")
     audit = {
         "rollout": {k: v for k, v in ro.items() if k != "env_steps_per_second"},
         "env_only_steps_per_second": round(env_sps),
@@ -376,6 +499,8 @@ def main(tiny: bool = False) -> dict:
         "train_step_e2e_ht": e2e,
         "train_step_e2e_steady_state": e2e_ss,
         "train_step_e2e_1024ep_steady_state": e2e_lg,
+        "train_step_e2e_packed_256lane": e2e_packed,
+        "train_step_e2e_packed_1024lane": e2e_packed_lg,
         "device": jax.devices()[0].device_kind,
     }
     # The driver parses the LAST stdout line and its tail window truncates

@@ -20,6 +20,11 @@ def main():
     ap.add_argument("--steps", type=int, default=2000)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--workdir", required=True)
+    # Positive-control knobs (round 4): the breakout config is
+    # episodes=4 / minibatch=64 — the regime where learning actually
+    # happens (BENCH.md round-2 runs broke out 2/2 there).
+    ap.add_argument("--episodes", type=int, default=1)
+    ap.add_argument("--batch-size", type=int, default=4)
     args = ap.parse_args()
 
     wd = Path(args.workdir)
@@ -37,7 +42,8 @@ def main():
 
     # README config (reference README.md:12), minus wandb/viz.
     ref_train.train(
-        steps=args.steps, batch_size=4, learning_rate=0.001, critic_lr=1e-4,
+        steps=args.steps, num_episodes=args.episodes,
+        batch_size=args.batch_size, learning_rate=0.001, critic_lr=1e-4,
         hidden_size=196, gamma=0.99, entropy_strength=0.02, smoothness_weight=0.0,
         max_tile_weight=0.0, print_frequency=5, corner_weight=0.0,
         points_weight=0.10, show_last_steps=0, monotonicity_weight=1.0,

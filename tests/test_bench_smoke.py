@@ -50,6 +50,9 @@ def test_bench_main_tiny(capsys):
     assert audit["learner_bs512_kl"]["updates_per_second"] > 0
     assert audit["learner_bs4096_nokl"]["updates_per_second"] > 0
     assert audit["train_step_e2e_ht"]["env_steps_per_second"] > 0
+    packed = audit["train_step_e2e_packed_256lane"]
+    assert packed["env_steps_per_second"] > 0
+    assert packed["occupancy_pct"] == 100.0
 
 
 def test_bench_learner_dataset_schema():

@@ -20,11 +20,12 @@ def _free_port() -> int:
     return port
 
 
-def test_two_process_localhost_training(tmp_path):
+def _run_multihost(tmp_path, num_procs: int, episodes: int,
+                   timeout: int = 600):
     port = _free_port()
     env = dict(os.environ)
-    # one CPU device per process: the global mesh is then exactly 2 devices,
-    # one per "host" (the conftest's 8-device forcing must not leak in).
+    # one CPU device per process: the global mesh is then exactly num_procs
+    # devices, one per "host" (the conftest's 8-device forcing must not leak).
     env["XLA_FLAGS"] = ""
     env.pop("JAX_PLATFORMS", None)
 
@@ -32,9 +33,10 @@ def test_two_process_localhost_training(tmp_path):
         sys.executable, str(REPO / "train.py"), "train",
         "--platform", "cpu",
         "--coordinator-address", f"127.0.0.1:{port}",
-        "--num-processes", "2",
-        "--mesh-data", "2",
-        "--steps", "2", "--episodes", "4", "--batch-size", "8",
+        "--num-processes", str(num_procs),
+        "--mesh-data", str(num_procs),
+        "--steps", "2", "--episodes", str(episodes),
+        "--batch-size", str(2 * num_procs),
         "--scan-cap", "48", "-H", "16", "--num-layers", "1",
         "--warmup-steps", "1", "--points", "0.1", "--mono", "1.0",
         "--upsample-ratio", "0.25", "--print-freq", "1",
@@ -45,9 +47,9 @@ def test_two_process_localhost_training(tmp_path):
         subprocess.Popen(common + ["--process-id", str(i)],
                          stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
                          env=env, cwd=str(REPO))
-        for i in range(2)
+        for i in range(num_procs)
     ]
-    outs = [p.communicate(timeout=600)[0].decode() for p in procs]
+    outs = [p.communicate(timeout=timeout)[0].decode() for p in procs]
     for i, p in enumerate(procs):
         assert p.returncode == 0, f"process {i} failed:\n{outs[i][-3000:]}"
 
@@ -58,8 +60,20 @@ def test_two_process_localhost_training(tmp_path):
     rows = [json.loads(l) for l in logs[0].read_text().splitlines()]
     step_rows = [r for r in rows if "avg_score" in r]
     assert len(step_rows) == 2
-    # global stats: 4 episodes' env steps, not one host's 2
     assert step_rows[0]["samples"] > 0
-    assert "process 0" not in outs[1]  # rank 1 stayed quiet
+    for i in range(1, num_procs):
+        assert "process 0" not in outs[i]  # non-main ranks stayed quiet
     manifest = json.loads((tmp_path / "ck" / "train_state.json").read_text())
     assert manifest["train_step"] == 1
+
+
+def test_two_process_localhost_training(tmp_path):
+    _run_multihost(tmp_path, num_procs=2, episodes=4)
+
+
+def test_eight_process_localhost_training(tmp_path):
+    """8 localhost processes — the same process count as the driver's
+    dryrun_multichip(8) mesh, so process-count-dependent bugs (fold_in
+    fan-out, divisibility gates, logging gates) are exercised at the dryrun
+    width (VERDICT r3 item 8). Tiny shapes; slow only in process spin-up."""
+    _run_multihost(tmp_path, num_procs=8, episodes=8, timeout=900)

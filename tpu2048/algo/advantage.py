@@ -80,6 +80,35 @@ def returns_to_go(rewards: jnp.ndarray, valid: jnp.ndarray, gamma: float) -> jnp
     return G
 
 
+def corrected_mu_std(moments: RtgMoments, rtg_beta: float, rtg_step) -> tuple:
+    """Bias-corrected (mu, std) from the streaming moments — the scale the
+    critic's normalized predictions live in (train.py:744-754)."""
+    bias_correction = jnp.maximum(1.0 - rtg_beta ** jnp.maximum(rtg_step, 1), EPS)
+    mu_c = moments.mu / bias_correction
+    m2_c = moments.m2 / bias_correction
+    var = jnp.maximum(m2_c - jnp.square(mu_c), EPS)
+    return mu_c, jnp.sqrt(var)
+
+
+def returns_to_go_packed(rewards: jnp.ndarray, done_here: jnp.ndarray,
+                         gamma: float, bootstrap: jnp.ndarray) -> jnp.ndarray:
+    """Segment-aware discounted backward scan for PACKED (auto-reset) lanes:
+    G_t = r_t + gamma * (0 if the episode ended at t else G_{t+1}).
+
+    ``bootstrap`` (N,) seeds the scan with the RAW-return-scale value estimate
+    of the state AFTER the last recorded step — the cut tail of an episode
+    spanning the chunk boundary is valued by the critic instead of dropped.
+    Lanes whose last step was terminal never read it (done zeroes the carry).
+    """
+    def back(G, x):
+        r, d = x
+        G = r + gamma * jnp.where(d, 0.0, G)
+        return G, G
+
+    _, G = jax.lax.scan(back, bootstrap, (rewards, done_here), reverse=True)
+    return G
+
+
 def normalize_rtg(G: jnp.ndarray, valid: jnp.ndarray, moments: RtgMoments,
                   rtg_beta: float, rtg_step, axis_name=None) -> tuple:
     """Normalize with bias-corrected OLD moments, then fold the batch stats
@@ -98,11 +127,7 @@ def normalize_rtg(G: jnp.ndarray, valid: jnp.ndarray, moments: RtgMoments,
     batch_mean = ar(jnp.sum(G * w)) / n
     batch_var = ar(jnp.sum(jnp.square(G - batch_mean) * w)) / n
 
-    bias_correction = jnp.maximum(1.0 - rtg_beta ** jnp.maximum(rtg_step, 1), EPS)
-    mu_c = moments.mu / bias_correction
-    m2_c = moments.m2 / bias_correction
-    var = jnp.maximum(m2_c - jnp.square(mu_c), EPS)
-    std = jnp.sqrt(var)
+    mu_c, std = corrected_mu_std(moments, rtg_beta, rtg_step)
     G_norm = (G - mu_c) / (std + EPS)
 
     new_mu = rtg_beta * moments.mu + (1.0 - rtg_beta) * batch_mean
@@ -120,6 +145,38 @@ def compute(traj_points, mono_b, mono_a, empt_b, empt_a, value_pred, valid,
     reward = step_rewards(traj_points, mono_b, mono_a, empt_b, empt_a, weights, gamma)
     reward = jnp.where(valid, reward, 0.0)
     G_raw = returns_to_go(reward, valid, gamma)
+    G_norm, new_moments, batch_mean, batch_var = normalize_rtg(
+        G_raw, valid, moments, rtg_beta, rtg_step, axis_name=axis_name
+    )
+    advantage = G_norm - value_pred
+    return dict(
+        reward=reward,
+        G_raw=G_raw,
+        G_norm=G_norm,
+        advantage=advantage,
+        new_moments=new_moments,
+        batch_mean=batch_mean,
+        batch_var=batch_var,
+    )
+
+
+def compute_packed(traj_points, mono_b, mono_a, empt_b, empt_a, value_pred,
+                   valid, done_here, boot_value, weights: RewardWeights,
+                   gamma: float, moments: RtgMoments, rtg_beta: float,
+                   rtg_step, axis_name=None) -> dict:
+    """Advantage pipeline for PACKED (auto-reset) trajectories: the backward
+    scan resets at episode boundaries (``done_here``), and the episode cut at
+    the chunk end is bootstrapped with the critic's value, denormalized into
+    raw-return units with the bias-corrected OLD moments — the same moments
+    that then normalize the batch, so bootstrap and normalization are
+    mutually consistent. Everything else (reward assembly, moment-update
+    ordering, advantage) is identical to :func:`compute`."""
+    reward = step_rewards(traj_points, mono_b, mono_a, empt_b, empt_a,
+                          weights, gamma)
+    reward = jnp.where(valid, reward, 0.0)
+    mu_c, std = corrected_mu_std(moments, rtg_beta, rtg_step)
+    boot_raw = mu_c + (std + EPS) * boot_value  # invert (G - mu)/(std + eps)
+    G_raw = returns_to_go_packed(reward, done_here, gamma, boot_raw)
     G_norm, new_moments, batch_mean, batch_var = normalize_rtg(
         G_raw, valid, moments, rtg_beta, rtg_step, axis_name=axis_name
     )

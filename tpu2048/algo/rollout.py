@@ -311,3 +311,183 @@ def rollout(apply_fn, params, key: jax.Array, num_envs: int, max_steps: int,
 def rollout_jit(apply_fn, params, key, num_envs: int, max_steps: int,
                 env_key=None):
     return rollout(apply_fn, params, key, num_envs, max_steps, env_key)
+
+
+# ---------------------------------------------------------------------------
+# Packed (auto-reset) rollout — the throughput mode.
+#
+# The exact-episodes rollout above plays ONE game per lane: every lane then
+# idles until the longest game in the batch finishes (measured 31-38% lane
+# occupancy at the production configs — BENCH.md round 3), and the while_loop
+# trip count is set by the straggler. SURVEY.md §7.1 planned "reset, step ...
+# with auto-reset" from the start; this is it. Lanes never idle:
+#
+#   * a fixed-length ``lax.scan`` (static trip count, no cond evaluation —
+#     the most XLA-friendly shape there is) steps N persistent environments
+#     for exactly T trips;
+#   * a lane whose game ends is reset IN the same trip and keeps playing;
+#   * env state (boards + per-lane episode accumulators + the env RNG chain)
+#     is carried ACROSS train steps in an :class:`EnvCarry`, so no work is
+#     ever discarded — every recorded step is trained on (100% occupancy by
+#     construction);
+#   * episodes that span a chunk boundary are handled in the advantage stage
+#     by bootstrapping the cut tail with the critic's (denormalized) value —
+#     ``boot_value`` below; see advantage.compute_packed. This is the one
+#     deliberate deviation from the reference's full-episode returns-to-go
+#     (exact-episodes mode remains the default for curve parity).
+# ---------------------------------------------------------------------------
+
+
+class EnvCarry(NamedTuple):
+    """Persistent environment state threaded across packed rollout chunks."""
+
+    boards: jnp.ndarray  # (N, 4, 4) int32 live boards
+    env_key: jax.Array  # spawn/reset RNG chain
+    ep_points: jnp.ndarray  # (N,) i32 — running score of the current episode
+    ep_moves: jnp.ndarray  # (N,) i32 — running length of the current episode
+
+
+def init_env_carry(env_key: jax.Array, num_lanes: int) -> EnvCarry:
+    env_key, k_reset = jax.random.split(env_key)
+    return EnvCarry(
+        boards=engine.reset(k_reset, (num_lanes,)),
+        env_key=env_key,
+        ep_points=jnp.zeros((num_lanes,), jnp.int32),
+        ep_moves=jnp.zeros((num_lanes,), jnp.int32),
+    )
+
+
+class PackedTrajectory(NamedTuple):
+    """(T, N, ...) step records from a packed rollout chunk. Field names match
+    :class:`Trajectory` where the meaning is identical so the downstream
+    advantage/augment/learner code is shared; episode summaries are per-STEP
+    completion records instead of per-lane (a lane holds many episodes)."""
+
+    board_before: jnp.ndarray  # (T, N, 4, 4) int8
+    board_after: jnp.ndarray  # (T, N, 4, 4) int8 (post-spawn, pre-reset)
+    action: jnp.ndarray  # (T, N) int8
+    target_action: jnp.ndarray  # (T, N) int8 (== action; no expert mode)
+    target_probs: jnp.ndarray  # (T, N, 4) f32 one-hot of action
+    logprobs: jnp.ndarray  # (T, N, 4) f32
+    action_mask: jnp.ndarray  # (T, N, 4) bool, True = invalid
+    value_pred: jnp.ndarray  # (T, N) f32
+    entropy: jnp.ndarray  # (T, N) f32
+    points: jnp.ndarray  # (T, N) i32
+    preview: jnp.ndarray  # (T, N, 4) i32
+    max_created: jnp.ndarray  # (T, N) i8
+    mono_before: jnp.ndarray  # (T, N) i32
+    mono_after: jnp.ndarray  # (T, N) i32 (0 on terminal steps — the quirk)
+    empt_before: jnp.ndarray  # (T, N) i32
+    empt_after: jnp.ndarray  # (T, N) i32 (0 on terminal steps)
+    valid: jnp.ndarray  # (T, N) bool — ALL True (packed lanes never idle)
+    done_here: jnp.ndarray  # (T, N) bool — step ended an episode
+    # episode-completion records (nonzero only where done_here)
+    ep_start: jnp.ndarray  # (T, N) bool — step began a fresh episode
+    ep_score: jnp.ndarray  # (T, N) i32 — completed episode's total points
+    ep_len: jnp.ndarray  # (T, N) i32 — completed episode's move count
+    ep_tile: jnp.ndarray  # (T, N) i32 — completed episode's max TILE VALUE
+    # chunk-boundary bootstrap
+    boot_value: jnp.ndarray  # (N,) f32 — V(s_T) of carry-out boards
+    # (normalized space, critic units)
+    steps_executed: jnp.ndarray  # () i32 == T
+
+
+def rollout_packed(apply_fn, params, key: jax.Array, carry: EnvCarry,
+                   num_steps: int,
+                   greedy: bool = False) -> tuple[PackedTrajectory, EnvCarry]:
+    """Step every lane exactly ``num_steps`` times with auto-reset.
+
+    ``key`` drives action sampling (fresh per chunk, from the train loop's
+    chain); the env RNG rides inside ``carry`` so the spawn stream is
+    continuous across chunks. Returns the chunk's records plus the carry for
+    the next chunk. Every step is a real move on a live board: a fresh reset
+    board always has a legal move, and dead boards are replaced in the same
+    trip, so ``valid`` is identically True.
+    """
+    N = carry.boards.shape[0]
+
+    def body(c, k_act):
+        boards, env_key = c["boards"], c["env_key"]
+        ep_points, ep_moves = c["ep_points"], c["ep_moves"]
+        env_key, k_spawn, k_reset = jax.random.split(env_key, 3)
+
+        moves = engine.all_moves(boards)
+        invalid = moves.action_mask
+        enc = encode_boards(boards)
+        logits, value = apply_fn(params, enc)
+        masked, logprobs, entropy = masked_policy(logits, invalid)
+        if greedy:
+            action = jnp.argmax(masked, axis=-1).astype(jnp.int32)
+        else:
+            action = jax.random.categorical(k_act, masked, axis=-1).astype(jnp.int32)
+
+        mono_b = heuristics.monotonicity(boards)
+        empt_b = heuristics.emptiness(boards)
+
+        res = engine.step(boards, action, k_spawn, moves=moves)
+        # Post-move, PRE-spawn board for the "after" potentials (reference
+        # computes them before the random spawn, game.py:994-1002).
+        sel = action[None, :, None, None]
+        moved = jnp.squeeze(jnp.take_along_axis(moves.boards, sel, axis=0),
+                            axis=0)
+        mono_a = heuristics.monotonicity(moved)
+        empt_a = heuristics.emptiness(moved)
+
+        done = res.done
+        # Terminal-step potential zeroing (train.py:318-322).
+        mono_a = jnp.where(done, 0, mono_a)
+        empt_a = jnp.where(done, 0, empt_a)
+
+        ep_points_new = ep_points + res.reward
+        ep_moves_new = ep_moves + 1
+        tiles = engine.max_tile_value(res.board)
+
+        rec = dict(
+            board_before=boards.astype(jnp.int8),
+            board_after=res.board.astype(jnp.int8),
+            action=action.astype(jnp.int8),
+            target_action=action.astype(jnp.int8),
+            target_probs=jax.nn.one_hot(action, 4, dtype=jnp.float32),
+            logprobs=logprobs,
+            action_mask=invalid,
+            value_pred=value[..., 0],
+            entropy=entropy,
+            points=res.reward,
+            preview=moves.preview_rewards,
+            max_created=res.max_created.astype(jnp.int8),
+            mono_before=mono_b,
+            mono_after=mono_a,
+            empt_before=empt_b,
+            empt_after=empt_a,
+            valid=jnp.ones((N,), jnp.bool_),
+            done_here=done,
+            ep_start=ep_moves_new == 1,
+            ep_score=jnp.where(done, ep_points_new, 0),
+            ep_len=jnp.where(done, ep_moves_new, 0),
+            ep_tile=jnp.where(done, tiles, 0),
+        )
+
+        fresh = engine.reset(k_reset, (N,))
+        c = dict(
+            boards=jnp.where(done[:, None, None], fresh, res.board),
+            env_key=env_key,
+            ep_points=jnp.where(done, 0, ep_points_new),
+            ep_moves=jnp.where(done, 0, ep_moves_new),
+        )
+        return c, rec
+
+    keys = jax.random.split(key, num_steps)
+    c_out, recs = jax.lax.scan(body, dict(carry._asdict()), keys)
+
+    # Chunk-boundary bootstrap: the critic's value of the carry-out state, in
+    # its own (normalized) units — denormalized by the advantage stage. For
+    # lanes whose last step was terminal this is V(fresh board); the backward
+    # scan zeroes the bootstrap at done steps, so it is never used there.
+    _, boot = apply_fn(params, encode_boards(c_out["boards"]))
+
+    traj = PackedTrajectory(
+        **recs,
+        boot_value=boot[..., 0],
+        steps_executed=jnp.int32(num_steps),
+    )
+    return traj, EnvCarry(**c_out)

@@ -38,6 +38,46 @@ from ..ops import optimizer as opt
 AXIS = "data"
 
 
+def _packed_traj_specs() -> "R.PackedTrajectory":
+    """PartitionSpecs for a PackedTrajectory: (T, N, ...) step buffers are
+    lane-sharded on axis 1, the (N,) bootstrap on axis 0, the static trip
+    count replicated."""
+    tn = P(None, AXIS)
+    return R.PackedTrajectory(
+        board_before=tn, board_after=tn, action=tn, target_action=tn,
+        target_probs=tn, logprobs=tn, action_mask=tn, value_pred=tn,
+        entropy=tn, points=tn, preview=tn, max_created=tn, mono_before=tn,
+        mono_after=tn, empt_before=tn, empt_after=tn, valid=tn, done_here=tn,
+        ep_start=tn, ep_score=tn, ep_len=tn, ep_tile=tn,
+        boot_value=P(AXIS), steps_executed=P(),
+    )
+
+
+def _carry_specs() -> R.EnvCarry:
+    """EnvCarry crossing shard_map: every leaf lane-sharded along ``data``.
+    The env RNG key rides as RAW key data with a leading per-device axis of
+    size 1 (typed key arrays are scalar and cannot carry a sharded axis);
+    the step body wraps/unwraps it."""
+    return R.EnvCarry(boards=P(AXIS), env_key=P(AXIS), ep_points=P(AXIS),
+                      ep_moves=P(AXIS))
+
+
+def init_sharded_env_carry(mesh: Mesh, env_key, num_lanes: int) -> R.EnvCarry:
+    """Per-shard EnvCarry: each device initializes its own ``num_lanes / D``
+    lanes with a fold_in-distinct env stream."""
+    D = mesh.shape[AXIS]
+    local = num_lanes // D
+
+    def make(key):
+        didx = jax.lax.axis_index(AXIS)
+        c = R.init_env_carry(jax.random.fold_in(key, didx), local)
+        return c._replace(env_key=jax.random.key_data(c.env_key)[None])
+
+    f = shard_map(make, mesh=mesh, in_specs=(P(),), out_specs=_carry_specs(),
+                  check_vma=False)
+    return jax.jit(f)(env_key)
+
+
 def _traj_specs() -> R.Trajectory:
     """PartitionSpecs for a Trajectory coming out of shard_map: (T, N, ...)
     step buffers are env-sharded on axis 1, (N,) episode summaries on axis 0,
@@ -71,14 +111,17 @@ def make_sharded_train_step(mesh: Mesh, cfg, apply_eval, apply_train, labels,
     from ..train.loop import make_process_fn
 
     D = mesh.shape[AXIS]
-    if cfg.num_episodes % D or cfg.batch_size % D:
+    packed = getattr(cfg, "packed", False)
+    global_envs = cfg.packed_lanes if packed else cfg.num_episodes
+    if global_envs % D or cfg.batch_size % D:
         raise ValueError(
-            f"num_episodes={cfg.num_episodes} and batch_size={cfg.batch_size} "
+            f"{'lanes' if packed else 'num_episodes'}={global_envs} and "
+            f"batch_size={cfg.batch_size} "
             f"must be divisible by data axis size {D}"
         )
-    local_envs = cfg.num_episodes // D
+    local_envs = global_envs // D
     local_bs = cfg.batch_size // D
-    T = cfg.rollout_cap
+    T = cfg.horizon if packed else cfg.rollout_cap
 
     optimize_fn = U.make_optimize_fn(
         apply_train, labels, opt_config, local_bs, cfg.ppo_epochs,
@@ -107,6 +150,34 @@ def make_sharded_train_step(mesh: Mesh, cfg, apply_eval, apply_train, labels,
             e_apply = lambda p, x: urm.apply(p, e_mc, x)
         else:
             e_apply = lambda p, x: mlp.apply(p, e_mc, x)
+
+    if packed:
+        def packed_step_fn(params, opt_state, moments, carry, key,
+                           train_step, beta):
+            didx = jax.lax.axis_index(AXIS)
+            key = jax.random.fold_in(key, didx)
+            k_roll, k_proc = jax.random.split(key)
+            local_carry = carry._replace(
+                env_key=jax.random.wrap_key_data(carry.env_key[0]))
+            traj, new_carry = R.rollout_packed(apply_eval, params, k_roll,
+                                               local_carry, T)
+            new_carry = new_carry._replace(
+                env_key=jax.random.key_data(new_carry.env_key)[None])
+            new_params, new_opt_state, new_moments, outputs = process(
+                params, opt_state, traj, moments, k_proc, train_step, beta
+            )
+            return (new_params, new_opt_state, new_moments, new_carry, traj,
+                    outputs)
+
+        rep = P()
+        sharded = shard_map(
+            packed_step_fn, mesh=mesh,
+            in_specs=(rep, rep, rep, _carry_specs(), rep, rep, rep),
+            out_specs=(rep, rep, rep, _carry_specs(), _packed_traj_specs(),
+                       dict(scalars=rep, advantage=P(None, AXIS))),
+            check_vma=False,
+        )
+        return jax.jit(sharded)
 
     def step_fn(params, opt_state, moments, key, train_step, beta):
         didx = jax.lax.axis_index(AXIS)

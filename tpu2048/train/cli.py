@@ -80,6 +80,16 @@ def _add_train_flags(p: argparse.ArgumentParser) -> None:
         help="Skip the per-minibatch KL(old||new) extra forward")
     add("--scan-cap", dest="scan_cap", type=int, default=4096,
         help="Episode-length capacity of the fused rollout")
+    add("--packed", action="store_true",
+        help="Packed (auto-reset) rollout: persistent lanes advance a fixed "
+             "number of steps per train step, finished games reset in-place "
+             "and episodes cut at the chunk boundary are value-bootstrapped "
+             "— 100%% lane occupancy (the throughput mode; exact-episodes "
+             "rollout remains the default for reference curve parity)")
+    add("--lanes", type=int, default=0,
+        help="Packed mode: number of persistent env lanes (0 -> --episodes)")
+    add("--horizon", type=int, default=512,
+        help="Packed mode: env steps per lane per train step")
     add("--checkpoint-freq", dest="checkpoint_freq", type=int, default=None)
     add("--mesh-data", dest="mesh_data", type=int, default=1,
         help="Data-parallel mesh size (>1 routes through the SPMD trainer)")

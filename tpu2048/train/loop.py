@@ -139,6 +139,22 @@ class TrainConfig:
     # Run the expert's leaf/value forwards in bfloat16 (~2x expert-rollout
     # throughput; labels flip only on gap~0 ties — rollout docstring).
     expert_bf16: bool = False
+    # Packed (auto-reset) rollout — the throughput mode (algo/rollout.py::
+    # rollout_packed): `lanes` persistent environments advance exactly
+    # `horizon` steps per train step; finished games reset in-place and env
+    # state carries across steps, so every lane is busy every trip (the
+    # exact-episodes rollout idles at 31-38% occupancy waiting for the
+    # longest game — BENCH.md). Episodes cut at a chunk boundary are
+    # bootstrapped with the critic (advantage.compute_packed) — the one
+    # deviation from the reference's full-episode returns, which is why the
+    # exact mode stays the default for curve parity.
+    packed: bool = False
+    lanes: int = 0  # 0 -> num_episodes
+    horizon: int = 512  # env steps per lane per train step
+
+    @property
+    def packed_lanes(self) -> int:
+        return self.lanes or self.num_episodes
 
     @property
     def rollout_cap(self) -> int:
@@ -198,8 +214,16 @@ def make_process_fn(cfg: TrainConfig, apply_train, labels, optimize_fn,
     batch moments, gradients and every logged statistic reduced globally
     (``optimize_fn`` must be built with the same ``axis_name``). The sharded
     builder (parallel/train_step.py) passes ``_jit=False`` and wraps this body
-    in shard_map itself."""
-    T, N = cfg.rollout_cap, num_envs_local or cfg.num_episodes
+    in shard_map itself.
+
+    ``cfg.packed``: the trajectory is a PackedTrajectory (auto-reset lanes);
+    advantage runs the segment-aware bootstrapped pipeline and the episode
+    statistics come from per-step completion records."""
+    packed = cfg.packed
+    if packed:
+        T, N = cfg.horizon, num_envs_local or cfg.packed_lanes
+    else:
+        T, N = cfg.rollout_cap, num_envs_local or cfg.num_episodes
     num_slots = int(np.ceil(T * N * max(cfg.upsample_ratio, 0.0))) if cfg.upsample_ratio > 0 else 0
     weights = cfg.reward_weights
     ar = (lambda x: jax.lax.psum(x, axis_name)) if axis_name else (lambda x: x)
@@ -210,11 +234,20 @@ def make_process_fn(cfg: TrainConfig, apply_train, labels, optimize_fn,
         sched_mult = schedules.cosine_with_warmup(
             train_step - 1, cfg.warmup_steps, cfg.steps
         )
-        adv = A.compute(
-            traj.points, traj.mono_before, traj.mono_after, traj.empt_before,
-            traj.empt_after, traj.value_pred, traj.valid, weights, cfg.gamma,
-            moments, cfg.rtg_beta, train_step, axis_name=axis_name,
-        )
+        if packed:
+            adv = A.compute_packed(
+                traj.points, traj.mono_before, traj.mono_after,
+                traj.empt_before, traj.empt_after, traj.value_pred,
+                traj.valid, traj.done_here, traj.boot_value, weights,
+                cfg.gamma, moments, cfg.rtg_beta, train_step,
+                axis_name=axis_name,
+            )
+        else:
+            adv = A.compute(
+                traj.points, traj.mono_before, traj.mono_after, traj.empt_before,
+                traj.empt_after, traj.value_pred, traj.valid, weights, cfg.gamma,
+                moments, cfg.rtg_beta, train_step, axis_name=axis_name,
+            )
 
         S_real = T * N
         flat_valid = traj.valid.reshape(S_real)
@@ -265,36 +298,63 @@ def make_process_fn(cfg: TrainConfig, apply_train, labels, optimize_fn,
             sched_mult,
         )
 
-        dstats = S.device_stats(traj, adv, aug_valid, aug_points,
-                                axis_name=axis_name)
-        max_tiles = engine.max_tile_value(traj.final_board.astype(jnp.int32))
-        n_ep = ar(jnp.float32(N))  # global episode count across shards
-        if axis_name:
-            # Global best episode: index into the gathered (data-concatenated)
-            # score vector — the same layout the sharded traj comes back in.
-            all_scores = jax.lax.all_gather(traj.total_points, axis_name)
-            best_idx = jnp.argmax(all_scores.reshape(-1))
+        if packed:
+            # Episode stats over this chunk's COMPLETION records (a packed
+            # lane holds many episodes; completions happen mid-buffer).
+            flat_done = traj.done_here.reshape(-1)
+            dstats = S.device_stats(
+                traj, adv, aug_valid, aug_points, axis_name=axis_name,
+                episode_scores=traj.ep_score.reshape(-1),
+                episode_mask=flat_done,
+                ep_start_mask=traj.ep_start.reshape(-1),
+            )
+            n_done = jnp.maximum(ar(jnp.sum(flat_done.astype(jnp.float32))), 1.0)
+            scalars = dict(dstats)
+            scalars.update(ostats._asdict())
+            scalars.update(
+                sched_mult=sched_mult,
+                batch_max_score=amax(jnp.max(traj.ep_score)),
+                batch_avg_score=ar(jnp.sum(traj.ep_score.astype(jnp.float32))) / n_done,
+                pct_512=ar(jnp.sum(traj.ep_tile >= 512)) / n_done * 100.0,
+                pct_1024=ar(jnp.sum(traj.ep_tile >= 1024)) / n_done * 100.0,
+                pct_2048=ar(jnp.sum(traj.ep_tile >= 2048)) / n_done * 100.0,
+                # A packed chunk has no per-lane "best episode" to fetch
+                # (episodes live mid-buffer); the loop skips episode fetches.
+                best_idx=jnp.int32(0),
+                env_steps=ar(jnp.sum(traj.valid.astype(jnp.int32))),
+            )
         else:
-            best_idx = jnp.argmax(traj.total_points)
-        scalars = dict(dstats)
-        scalars.update(ostats._asdict())
-        scalars.update(
-            sched_mult=sched_mult,
-            batch_max_score=amax(jnp.max(traj.total_points)),
-            batch_avg_score=ar(jnp.sum(traj.total_points)) / n_ep,
-            pct_512=ar(jnp.sum(max_tiles >= 512)) / n_ep * 100.0,
-            pct_1024=ar(jnp.sum(max_tiles >= 1024)) / n_ep * 100.0,
-            pct_2048=ar(jnp.sum(max_tiles >= 2048)) / n_ep * 100.0,
-            best_idx=best_idx,
-            env_steps=ar(jnp.sum(traj.num_moves)),
-        )
+            dstats = S.device_stats(traj, adv, aug_valid, aug_points,
+                                    axis_name=axis_name)
+            max_tiles = engine.max_tile_value(traj.final_board.astype(jnp.int32))
+            n_ep = ar(jnp.float32(N))  # global episode count across shards
+            if axis_name:
+                # Global best episode: index into the gathered
+                # (data-concatenated) score vector — the same layout the
+                # sharded traj comes back in.
+                all_scores = jax.lax.all_gather(traj.total_points, axis_name)
+                best_idx = jnp.argmax(all_scores.reshape(-1))
+            else:
+                best_idx = jnp.argmax(traj.total_points)
+            scalars = dict(dstats)
+            scalars.update(ostats._asdict())
+            scalars.update(
+                sched_mult=sched_mult,
+                batch_max_score=amax(jnp.max(traj.total_points)),
+                batch_avg_score=ar(jnp.sum(traj.total_points)) / n_ep,
+                pct_512=ar(jnp.sum(max_tiles >= 512)) / n_ep * 100.0,
+                pct_1024=ar(jnp.sum(max_tiles >= 1024)) / n_ep * 100.0,
+                pct_2048=ar(jnp.sum(max_tiles >= 2048)) / n_ep * 100.0,
+                best_idx=best_idx,
+                env_steps=ar(jnp.sum(traj.num_moves)),
+            )
         # One packed vector -> ONE host transfer per train step (the tunnel
         # round trip per scalar would otherwise dominate wall clock).
         assert sorted(scalars) == list(SCALAR_KEYS), sorted(scalars)
-        packed = jnp.stack(
+        packed_scalars = jnp.stack(
             [jnp.asarray(scalars[k], jnp.float32) for k in SCALAR_KEYS]
         )
-        outputs = dict(scalars=packed, advantage=adv["advantage"])
+        outputs = dict(scalars=packed_scalars, advantage=adv["advantage"])
         return new_params, new_opt_state, adv["new_moments"], outputs
 
     return jax.jit(process) if _jit else process
@@ -528,6 +588,23 @@ def train(cfg: TrainConfig) -> dict:
         logger.print(f"Anchor KL trust region: strength {cfg.anchor_kl} "
                      "vs the run-start policy")
 
+    if cfg.packed and cfg.expert_iter:
+        raise ValueError("--packed does not support --expert-iter (the "
+                         "expert searcher needs exact-episode rollouts)")
+
+    # Packed mode: persistent env state threaded across train steps. Not
+    # checkpointed on purpose — on resume the lanes start from fresh boards
+    # (one chunk of slightly-off-policy early states; the spawn stream is
+    # reproducible from the resumed RNG key).
+    env_carry = None
+    if cfg.packed:
+        key, k_env = jax.random.split(key)
+        logger.print(
+            f"Packed rollout: {cfg.packed_lanes} auto-reset lanes x "
+            f"{cfg.horizon} steps/train-step "
+            f"({cfg.packed_lanes * cfg.horizon} env steps/step, "
+            "100% lane occupancy)")
+
     use_mesh = cfg.mesh_data > 1
     if use_mesh:
         from ..parallel import make_mesh, make_sharded_train_step
@@ -537,7 +614,13 @@ def train(cfg: TrainConfig) -> dict:
         fused_step = make_sharded_train_step(
             mesh, cfg, apply_eval, apply_train, labels, opt_cfg, anchor=anchor
         )
+        if cfg.packed:
+            from ..parallel.train_step import init_sharded_env_carry
+
+            env_carry = init_sharded_env_carry(mesh, k_env, cfg.packed_lanes)
     else:
+        if cfg.packed:
+            env_carry = R.init_env_carry(k_env, cfg.packed_lanes)
         optimize_fn = U.make_optimize_fn(
             apply_train, labels, opt_cfg, cfg.batch_size, cfg.ppo_epochs,
             kl_diagnostic=cfg.kl_diagnostic,
@@ -597,6 +680,11 @@ def train(cfg: TrainConfig) -> dict:
                                      expert_bf16=cfg.expert_bf16)
 
                 rollout_fn = jax.jit(_roll)
+        elif cfg.packed:
+            rollout_fn = jax.jit(
+                lambda p, k, c: R.rollout_packed(apply_eval, p, k, c,
+                                                 cfg.horizon)
+            )
         else:
             rollout_fn = jax.jit(
                 lambda p, k, m, ts: R.rollout(apply_eval, p, k, N, T)
@@ -694,10 +782,14 @@ def train(cfg: TrainConfig) -> dict:
         logger.log(metrics, step=train_step, verbose=should_print)
 
         best_idx = int(sc["best_idx"])
-        if new_high and not multiprocess:
+        # Packed lanes hold many episodes mid-buffer — there is no per-lane
+        # episode to fetch for printing/viz/demo-export (same gating as the
+        # sharded multiprocess path, where the traj is not host-addressable).
+        fetchable = not multiprocess and not cfg.packed
+        if new_high and fetchable:
             best_game_episode = fetch_episode(traj, out["advantage"], best_idx)
 
-        if (should_print or (new_high and cfg.viz_dir)) and not multiprocess:
+        if (should_print or (new_high and cfg.viz_dir)) and fetchable:
             episode = fetch_episode(traj, out["advantage"], best_idx, heur_fn=heur_fn)
             weights = cfg.reward_weights
             if should_print:
@@ -756,14 +848,23 @@ def train(cfg: TrainConfig) -> dict:
     for train_step in range(start_step, cfg.steps):
         if use_mesh:
             key, k_step = jax.random.split(key)
-            params, opt_state, moments, traj, out = fused_step(
-                params, opt_state, moments, k_step,
-                jnp.int32(train_step + 1), jnp.float32(current_beta),
-            )
+            if cfg.packed:
+                params, opt_state, moments, env_carry, traj, out = fused_step(
+                    params, opt_state, moments, env_carry, k_step,
+                    jnp.int32(train_step + 1), jnp.float32(current_beta),
+                )
+            else:
+                params, opt_state, moments, traj, out = fused_step(
+                    params, opt_state, moments, k_step,
+                    jnp.int32(train_step + 1), jnp.float32(current_beta),
+                )
         else:
             key, k_roll, k_proc = jax.random.split(key, 3)
-            traj = rollout_fn(params, k_roll, moments,
-                              jnp.int32(train_step + 1))
+            if cfg.packed:
+                traj, env_carry = rollout_fn(params, k_roll, env_carry)
+            else:
+                traj = rollout_fn(params, k_roll, moments,
+                                  jnp.int32(train_step + 1))
             params, opt_state, moments, out = process_fn(
                 params, opt_state, traj, moments, k_proc,
                 jnp.int32(train_step + 1), jnp.float32(current_beta),

@@ -26,7 +26,9 @@ DSTAT_KEYS = (
 )
 
 
-def device_stats(traj, adv, aug_valid, aug_points, axis_name=None) -> dict:
+def device_stats(traj, adv, aug_valid, aug_points, axis_name=None,
+                 episode_scores=None, episode_mask=None,
+                 ep_start_mask=None) -> dict:
     """Array reductions over the rollout. ``traj``: Trajectory; ``adv``: the
     dict from advantage.compute; ``aug_*``: augmented-step fields.
 
@@ -34,7 +36,14 @@ def device_stats(traj, adv, aug_valid, aug_points, axis_name=None) -> dict:
     weighted moments psum'd, extrema pmax/pmin'd, and the episode-score
     vector all_gather'd so avg/median match the single-chip computation over
     the full batch (each shard contributes its own augmented pseudo-episode,
-    matching the reference quirk once per shard)."""
+    matching the reference quirk once per shard).
+
+    PACKED mode overrides: a packed lane holds many episodes, so the episode
+    stats come from completion records instead of per-lane summaries —
+    ``episode_scores``/``episode_mask`` (flat, mask True where an episode
+    completed) replace ``traj.total_points``, and ``ep_start_mask`` (flat,
+    aligned with the flattened (T, N) grid) replaces ``traj.valid[0]`` for
+    the per-episode first-move return G_0."""
     ar = (lambda x: jax.lax.psum(x, axis_name)) if axis_name else (lambda x: x)
 
     def wstats(x, w, n):
@@ -55,23 +64,46 @@ def device_stats(traj, adv, aug_valid, aug_points, axis_name=None) -> dict:
 
     # Episode scores INCLUDING the augmented pseudo-episode (the quirk).
     aug_score = jnp.sum(jnp.where(aug_valid, aug_points, 0))
-    scores = jnp.concatenate([traj.total_points, aug_score[None]]).astype(jnp.float32)
-    if axis_name:
-        scores = jax.lax.all_gather(scores, axis_name).reshape(-1)
-    scores = jnp.sort(scores)
-    n_ep = scores.shape[0]
-    avg_score = jnp.mean(scores)
-    median_score = jnp.where(
-        n_ep % 2 == 1, scores[n_ep // 2],
-        (scores[n_ep // 2 - 1] + scores[n_ep // 2]) / 2.0,
-    )
+    if episode_scores is not None:
+        # Packed mode: masked stats over episode-completion records. The
+        # median sorts non-completions to +inf and indexes by the true count.
+        smask = jnp.concatenate(
+            [episode_mask, jnp.ones((1,), jnp.bool_)])
+        scores = jnp.concatenate(
+            [episode_scores, aug_score[None]]).astype(jnp.float32)
+        if axis_name:
+            scores = jax.lax.all_gather(scores, axis_name).reshape(-1)
+            smask = jax.lax.all_gather(smask, axis_name).reshape(-1)
+        n_done = jnp.maximum(jnp.sum(smask.astype(jnp.float32)), 1.0)
+        avg_score = jnp.sum(jnp.where(smask, scores, 0.0)) / n_done
+        ordered = jnp.sort(jnp.where(smask, scores, jnp.inf))
+        median_score = ordered[jnp.minimum(
+            (n_done.astype(jnp.int32)) // 2, ordered.shape[0] - 1)]
+        median_score = jnp.where(jnp.isfinite(median_score), median_score, 0.0)
+    else:
+        scores = jnp.concatenate([traj.total_points, aug_score[None]]).astype(jnp.float32)
+        if axis_name:
+            scores = jax.lax.all_gather(scores, axis_name).reshape(-1)
+        scores = jnp.sort(scores)
+        n_ep = scores.shape[0]
+        avg_score = jnp.mean(scores)
+        median_score = jnp.where(
+            n_ep % 2 == 1, scores[n_ep // 2],
+            (scores[n_ep // 2 - 1] + scores[n_ep // 2]) / 2.0,
+        )
 
     # G_0 per real episode (first move's raw RTG), train.py:972-975.
-    has_moves = traj.valid[0]
-    ep_returns = jnp.where(has_moves, adv["G_raw"][0], 0.0)
-    avg_episode_return = ar(jnp.sum(ep_returns)) / jnp.maximum(
-        ar(jnp.sum(has_moves.astype(jnp.float32))), 1.0
-    )
+    if ep_start_mask is not None:
+        g0 = ep_start_mask.astype(jnp.float32)
+        ep_returns = jnp.where(ep_start_mask, adv["G_raw"].reshape(-1), 0.0)
+        avg_episode_return = ar(jnp.sum(ep_returns)) / jnp.maximum(
+            ar(jnp.sum(g0)), 1.0)
+    else:
+        has_moves = traj.valid[0]
+        ep_returns = jnp.where(has_moves, adv["G_raw"][0], 0.0)
+        avg_episode_return = ar(jnp.sum(ep_returns)) / jnp.maximum(
+            ar(jnp.sum(has_moves.astype(jnp.float32))), 1.0
+        )
 
     amax = (lambda x: jax.lax.pmax(x, axis_name)) if axis_name else (lambda x: x)
     amin = (lambda x: jax.lax.pmin(x, axis_name)) if axis_name else (lambda x: x)
