@@ -155,6 +155,72 @@ def bench_fused_rollout(batch: int = 4096, steps: int = 512) -> dict:
     )
 
 
+def urm_forward_flops(cfg) -> int:
+    """Approximate matmul FLOPs (2*MACs) of one GameURM forward per board:
+    16 tokens through num_loops iterations of num_layers blocks (attention
+    qkv/out projections + score/value matmuls, ConvSwiGLU gate/up/conv/down),
+    plus the per-cell stem and the pooled heads. Elementwise/norm work is
+    excluded (matmul-only, same convention as mlp_forward_flops)."""
+    h, t = cfg.hidden_dim, 16
+    inter = cfg.inter
+    attn = 4 * h * h + 2 * t * h  # qkv+out projections; scores+values per tok
+    swiglu = 2 * h * inter + cfg.conv_kernel * inter + inter * h
+    per_block_tok = 2 * (attn + swiglu)
+    blocks = cfg.num_loops * cfg.num_layers
+    return t * (2 * 3 * h + blocks * per_block_tok) + 2 * h * 5
+
+
+def bench_rollout_urm(lanes: int = 16384, horizon: int = 128,
+                      repeats: int = 3) -> dict:
+    """URM-policy rollout throughput in packed (auto-reset) mode: the
+    BASELINE.json north-star config names 'URM transformer policy/value
+    heads, 16k parallel boards' — this row measures exactly that. Packed
+    mode gives a fixed trip count (lanes*horizon real moves per run), so the
+    number is occupancy-free: env-steps/s = trained-on samples/s. The URM's
+    recurrent loops (num_loops x num_layers blocks over the 16-cell board
+    sequence, reference game.py:1433-1449) put ~60x more matmul FLOPs per
+    board than the MLP, so unlike the MLP rows this one exercises the MXU."""
+    from tpu2048.algo import rollout as R
+    from tpu2048.models import URMConfig, urm
+
+    cfg = URMConfig(dropout=0.0)
+    params = urm.init(jax.random.key(0), cfg, zero_heads=False)
+    apply_eval = lambda p, x: urm.apply(p, cfg, x)
+
+    f = jax.jit(lambda p, k, c: R.rollout_packed(apply_eval, p, k, c,
+                                                 horizon))
+    carry = jax.jit(lambda k: R.init_env_carry(k, lanes))(jax.random.key(7))
+    traj, carry = f(params, jax.random.key(1), carry)
+    _fetch(traj.points)  # compile + barrier
+
+    best = float("inf")
+    per_run = []
+    for i in range(repeats):
+        t0 = time.perf_counter()
+        traj, carry = f(params, jax.random.key(2 + i), carry)
+        _fetch(traj.points)
+        dt = time.perf_counter() - t0
+        per_run.append(dict(seconds=round(dt, 4)))
+        best = min(best, dt)
+
+    moves = lanes * horizon
+    fwd = urm_forward_flops(cfg)
+    hw_flops = fwd * moves / best
+    peak = _peak_flops()
+    return dict(
+        env_steps_per_second=moves / best,
+        lanes=lanes, horizon=horizon, total_moves=moves,
+        best_seconds=round(best, 4), runs=per_run,
+        model=(f"urm_h{cfg.hidden_dim}_l{cfg.num_layers}"
+               f"_loops{cfg.num_loops}"),
+        policy_flops_per_forward=fwd,
+        achieved_model_flops_per_s=round(hw_flops),
+        peak_flops_bf16=peak,
+        model_mfu_pct=round(100.0 * hw_flops / peak, 3),
+        occupancy_pct=100.0,
+    )
+
+
 def bench_learner(batch_size: int = 512, S: int = 8192,
                   kl_diagnostic: bool = True) -> dict:
     """PPO minibatch updates/second (forward+backward+Muon/AdamW step +
@@ -435,6 +501,7 @@ def main(tiny: bool = False) -> dict:
         e2e_packed = bench_train_step_packed(lanes=8, horizon=16,
                                              minibatch=32, repeats=1)
         e2e_packed_lg = None
+        ro_urm = bench_rollout_urm(lanes=8, horizon=8, repeats=1)
     else:
         env_sps = bench_env_only()
         ro = bench_fused_rollout()
@@ -456,6 +523,8 @@ def main(tiny: bool = False) -> dict:
         e2e_packed = bench_train_step_packed(lanes=256, horizon=384)
         # and a wide-lane config that amortizes per-trip dispatch latency
         e2e_packed_lg = bench_train_step_packed(lanes=1024, horizon=256)
+        # URM at the BASELINE-named 16k-parallel-boards config
+        ro_urm = bench_rollout_urm(lanes=16384, horizon=128)
     err = lambda s: print(s, file=sys.stderr)
     err(f"# fused rollout (env+policy): {ro['env_steps_per_second']:,.0f} "
         f"env-steps/s ({ro['total_moves']} moves / {ro['trip_count']} trips "
@@ -491,8 +560,13 @@ def main(tiny: bool = False) -> dict:
             f"{e2e_packed_lg['horizon']}: "
             f"{e2e_packed_lg['env_steps_per_second']:,.0f} env-steps/s "
             f"pipelined ({e2e_packed_lg['seconds_per_step']}s/step)")
+    if ro_urm:
+        err(f"# URM rollout PACKED {ro_urm['lanes']}x{ro_urm['horizon']}: "
+            f"{ro_urm['env_steps_per_second']:,.0f} env-steps/s "
+            f"({ro_urm['model']}, model-MFU {ro_urm['model_mfu_pct']}%)")
     audit = {
         "rollout": {k: v for k, v in ro.items() if k != "env_steps_per_second"},
+        "rollout_urm_packed_16k": ro_urm,
         "env_only_steps_per_second": round(env_sps),
         "learner_bs512_kl": learner,
         "learner_bs4096_nokl": learner_fast,
