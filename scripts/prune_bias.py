@@ -2,13 +2,17 @@
 inner max nodes change the chosen move, and by how much does it move the
 root scores?
 
-Samples boards from real games played by the checkpoint's own greedy policy
-(so the distribution matches eval play), then compares
-``expectimax_scores(depth=2, prune=0)`` (exact chance nodes, exact inner max)
-against depth-2 scores computed THROUGH the pruned path used by depth>=3
-(``prune_k`` bounding the inner max fan-out).
+Inner max nodes only exist at depth >= 3 (algo/search.py:state_values —
+at depth 2 the recursive calls run at depth 1, below the pruning gate), so
+the meaningful comparison is at depth 3: ``expectimax_scores(depth=3,
+prune=0)`` (exact inner max, ~(4*32)^2*32 critic leaves per board) against
+``expectimax_scores(depth=3, prune_k=k)`` — the exact configuration the
+depth-3 eval rows in BENCH.md were produced with.
 
-Usage: python scripts/prune_bias.py [ckpt] [n_boards]
+Samples boards from real games played by the checkpoint's own greedy policy
+(so the distribution matches eval play).
+
+Usage: python scripts/prune_bias.py [ckpt] [n_boards] [depth]
 """
 
 import sys
@@ -23,7 +27,8 @@ import jax.numpy as jnp
 
 def main():
     ckpt = sys.argv[1] if len(sys.argv) > 1 else "checkpoints_expA"
-    n = int(sys.argv[2]) if len(sys.argv) > 2 else 512
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 64
+    depth = int(sys.argv[3]) if len(sys.argv) > 3 else 3
 
     from tpu2048.algo import rollout as R
     from tpu2048.algo import search as SRCH
@@ -52,22 +57,23 @@ def main():
 
     @jax.jit
     def exact(p, b, m):
-        return SRCH.expectimax_scores(apply_fn, p, b, m, coefs, 2, 0)
+        return SRCH.expectimax_scores(apply_fn, p, b, m, coefs, depth, 0)
 
     exact_scores = np.asarray(exact(params, sample, moves))
 
-    print(f"boards sampled: {len(pick)} (from greedy games, ckpt {ckpt})")
+    print(f"boards sampled: {len(pick)} (from greedy games, ckpt {ckpt}), "
+          f"depth={depth}: exact (prune 0) vs pruned inner max")
     for k in (2, 3):
         pruned = jax.jit(
             lambda p, b, m, kk=k: SRCH.expectimax_scores(
-                apply_fn, p, b, m, coefs, 2, kk))
+                apply_fn, p, b, m, coefs, depth, kk))
         ps = np.asarray(pruned(params, sample, moves))
         # argmax over legal moves only
         ex = np.where(legal, exact_scores, -np.inf)
         pr = np.where(legal, ps, -np.inf)
         agree = (ex.argmax(-1) == pr.argmax(-1)).mean()
         finite = np.isfinite(ex) & np.isfinite(pr)
-        dev = np.abs(ex - pr)[finite]
+        dev = np.abs(ex[finite] - pr[finite])  # -inf illegal slots excluded
         sigma = coefs.sigma
         print(f"prune_k={k}: argmax agreement {agree * 100:.2f}%  "
               f"|score dev| mean {dev.mean():.4f} (={dev.mean() / sigma:.4f} "
