@@ -1,14 +1,22 @@
 #!/usr/bin/env bash
-# Round wrap-up: archive curves, refresh demo artifacts from the best
-# checkpoint, final eval. Run after the high-throughput training completes.
+# Round wrap-up hygiene: make sure every driver artifact and measurement
+# that exists on disk is committed, so the audit trail (BENCH_r*.json,
+# MULTICHIP_r*.json, BENCH_CLEAN.json, logs) stays in-repo across rounds.
+# VERDICT r4 item 9: previous rounds left BENCH_CLEAN.json modified and the
+# per-round driver JSONs untracked at snapshot time.
+#
+# Safe to run repeatedly; commits only when there is something to commit.
 set -e
 cd "$(dirname "$0")/.."
-cp logs_ht/train_mlp_20260817_001.jsonl runs/ht_config_1000steps.jsonl
-cp logs_ht/train_mlp_20260817_002.jsonl runs/ht_config_resume_3000steps.jsonl
-cp /tmp/ref_logs/train_mlp_20260817_001.jsonl runs/reference_readme_config.jsonl || true
-python train.py export-demo --model checkpoints_ht --output web/data --num-games 128
-cp checkpoints_ht/best_model.npz checkpoints_ht/best_model.json web/data/
-python train.py evaluate checkpoints_ht --games 256
-python scripts/plot_curves.py runs/curves.png runs/readme_config_20k_tpu.jsonl \
-  runs/ht_config_1000steps.jsonl runs/ht_config_resume_3000steps.jsonl \
-  runs/reference_readme_config.jsonl
+
+git add -A \
+  BENCH_r*.json MULTICHIP_r*.json BENCH_CLEAN.json COPYCHECK.json \
+  SCALING_CPU_MESH.json BENCH.md BASELINE.md PROGRESS.jsonl \
+  runs/ logs_* checkpoints_*/best_model.json checkpoints_*/best_model.npz \
+  2>/dev/null || true
+
+if ! git diff --cached --quiet; then
+  git commit -m "round wrapup: commit driver artifacts and measurement logs"
+else
+  echo "wrapup: nothing to commit (audit trail already clean)"
+fi
