@@ -566,7 +566,7 @@ def main(tiny: bool = False) -> dict:
             f"({ro_urm['model']}, model-MFU {ro_urm['model_mfu_pct']}%)")
     audit = {
         "rollout": {k: v for k, v in ro.items() if k != "env_steps_per_second"},
-        "rollout_urm_packed_16k": ro_urm,
+        (f"rollout_urm_packed_{ro_urm['lanes']}" if ro_urm else "rollout_urm_packed"): ro_urm,
         "env_only_steps_per_second": round(env_sps),
         "learner_bs512_kl": learner,
         "learner_bs4096_nokl": learner_fast,

@@ -205,3 +205,31 @@ def test_packed_training_spmd_mesh(tmp_path):
 def test_packed_rejects_expert_iter(tmp_path):
     with pytest.raises(ValueError, match="expert"):
         _run_train(tmp_path, expert_iter=True)
+
+
+def test_packed_capture_feeds_viz_and_demo(tmp_path):
+    """VERDICT r4 item 3: a packed run must produce the same best-episode
+    artifacts exact mode does — viz JSONs and a demo-exportable episode —
+    via the device-side recorder (episodes span chunks; algo/capture.py)."""
+    viz = tmp_path / "viz"
+    out = _run_train(tmp_path, steps=5, horizon=64, viz_dir=str(viz),
+                     print_frequency=2)
+    ep = out["best_game_episode"]
+    assert ep is not None, "no episode captured in 5x64-step packed chunks"
+    assert ep["total_points"] == sum(m["points_earned"] for m in ep["moves"])
+    assert ep["total_steps"] == len(ep["moves"]) - 1  # reference accounting
+    assert ep["final_state"] == ep["moves"][-1]["result_state"]
+    # mono/empt recomputed at fetch time; terminal step zeroed
+    assert ep["moves"][-1]["monotonicity_after"] == 0.0
+    assert ep["moves"][-1]["emptiness_after"] == 0.0
+    files = list(viz.glob("step_*.json"))
+    assert files, "packed run wrote no viz JSONs"
+    import json as _json
+
+    data = _json.loads(files[0].read_text())
+    assert data["moves"], "viz JSON has no moves"
+
+
+def test_packed_capture_off_keeps_old_gating(tmp_path):
+    out = _run_train(tmp_path, packed_capture=False)
+    assert out["best_game_episode"] is None

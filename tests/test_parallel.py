@@ -276,3 +276,62 @@ def test_sharded_expert_src_uses_frozen_teacher(tmp_path):
                      expert_tau=cfg.expert_tau)
     assert not np.allclose(np.asarray(traj.target_probs),
                            np.asarray(live.target_probs))
+
+
+def test_sharded_packed_d4_global_stats_and_carry_continuity():
+    """Packed-mode mirror of test_sharded_d4_global_stats_and_moments
+    (VERDICT r4 item 6): at D=4 the packed SPMD step must (a) produce the
+    full scalar surface with exactly lanes*horizon env steps, (b) update the
+    RTG moments from GLOBAL cross-shard statistics — checked against a host
+    recomputation over the gathered global trajectory — and (c) thread the
+    EnvCarry across steps so lanes continue mid-episode (board and
+    episode-accumulator continuity)."""
+    from tpu2048.parallel.train_step import init_sharded_env_carry
+
+    cfg = _cfg(packed=True, lanes=16, horizon=32, batch_size=64)
+    params, labels, opt_cfg, apply_eval, apply_train = _setup(cfg)
+    mesh = make_mesh(4)
+    step = make_sharded_train_step(mesh, cfg, apply_eval, apply_train,
+                                   labels, opt_cfg)
+    carry0 = init_sharded_env_carry(mesh, jax.random.key(11), cfg.lanes)
+    m0 = A.RtgMoments.initial()
+    o0 = opt.init(params, labels)
+
+    p1, o1, m1, carry1, traj1, out1 = step(
+        params, o0, m0, carry0, jax.random.key(5), jnp.int32(5),
+        jnp.float32(0.02))
+
+    # (a) scalar surface + exact occupancy accounting
+    sc = dict(zip(SCALAR_KEYS, np.asarray(out1["scalars"]).tolist()))
+    assert sc["env_steps"] == cfg.lanes * cfg.horizon
+    assert sc["samples"] == cfg.lanes * cfg.horizon
+    assert sc["augmented_samples"] > 0
+
+    # (b) global moments: recompute on host from the gathered global traj
+    w = cfg.reward_weights
+    out_host = A.compute_packed(
+        traj1.points, traj1.mono_before, traj1.mono_after,
+        traj1.empt_before, traj1.empt_after, traj1.value_pred,
+        traj1.valid, traj1.done_here, traj1.boot_value,
+        w, cfg.gamma, m0, cfg.rtg_beta, 5)
+    np.testing.assert_allclose(float(m1.mu),
+                               float(out_host["new_moments"].mu), rtol=1e-4)
+    np.testing.assert_allclose(float(m1.m2),
+                               float(out_host["new_moments"].m2), rtol=1e-3)
+
+    # (c) carry continuity: the next chunk starts exactly where this one
+    # ended — first board_before of step 2 == carry-out boards of step 1.
+    p2, o2, m2, carry2, traj2, out2 = step(
+        p1, o1, m1, carry1, jax.random.key(6), jnp.int32(6),
+        jnp.float32(0.02))
+    np.testing.assert_array_equal(np.asarray(traj2.board_before[0]),
+                                  np.asarray(carry1.boards).astype(np.int8))
+    # episode accumulators continue: lanes not done at the boundary carry
+    # their running move counts into the next chunk's completions.
+    done_last = np.asarray(traj1.done_here[-1])
+    epm = np.asarray(carry1.ep_moves)
+    assert (epm[done_last] == 0).all()
+    assert (epm >= 0).all() and epm.max() > 0
+
+    for leaf in jax.tree.leaves(p2):
+        assert np.isfinite(np.asarray(leaf)).all()

@@ -394,7 +394,7 @@ class PackedTrajectory(NamedTuple):
 
 def rollout_packed(apply_fn, params, key: jax.Array, carry: EnvCarry,
                    num_steps: int,
-                   greedy: bool = False) -> tuple[PackedTrajectory, EnvCarry]:
+                   greedy: bool = False, recorder=None):
     """Step every lane exactly ``num_steps`` times with auto-reset.
 
     ``key`` drives action sampling (fresh per chunk, from the train loop's
@@ -403,12 +403,19 @@ def rollout_packed(apply_fn, params, key: jax.Array, carry: EnvCarry,
     the next chunk. Every step is a real move on a live board: a fresh reset
     board always has a legal move, and dead boards are replaced in the same
     trip, so ``valid`` is identically True.
+
+    ``recorder``: optional :class:`tpu2048.algo.capture.EpisodeRecorder`.
+    When given, every lane's in-flight episode is recorded on device and the
+    best completed episode is kept across chunks (packed lanes hold episodes
+    that span chunk boundaries, so no single chunk's (T, N) buffers contain
+    one — see capture.py). Adds a third return value (the updated recorder).
     """
     N = carry.boards.shape[0]
 
     def body(c, k_act):
         boards, env_key = c["boards"], c["env_key"]
         ep_points, ep_moves = c["ep_points"], c["ep_moves"]
+        rec_in = c.get("recorder")
         env_key, k_spawn, k_reset = jax.random.split(env_key, 3)
 
         moves = engine.all_moves(boards)
@@ -474,10 +481,24 @@ def rollout_packed(apply_fn, params, key: jax.Array, carry: EnvCarry,
             ep_points=jnp.where(done, 0, ep_points_new),
             ep_moves=jnp.where(done, 0, ep_moves_new),
         )
+        if recorder is not None:
+            from . import capture
+
+            c["recorder"] = capture.record_step(
+                rec_in, ep_moves=ep_moves,
+                board_before=boards, board_after=res.board,
+                action=action, points=res.reward, entropy=entropy,
+                done=done, ep_points_new=ep_points_new,
+                ep_moves_new=ep_moves_new,
+            )
         return c, rec
 
+    c0 = dict(carry._asdict())
+    if recorder is not None:
+        c0["recorder"] = recorder
+
     keys = jax.random.split(key, num_steps)
-    c_out, recs = jax.lax.scan(body, dict(carry._asdict()), keys)
+    c_out, recs = jax.lax.scan(body, c0, keys)
 
     # Chunk-boundary bootstrap: the critic's value of the carry-out state, in
     # its own (normalized) units — denormalized by the advantage stage. For
@@ -490,4 +511,7 @@ def rollout_packed(apply_fn, params, key: jax.Array, carry: EnvCarry,
         boot_value=boot[..., 0],
         steps_executed=jnp.int32(num_steps),
     )
+    rec_out = c_out.pop("recorder", None)
+    if recorder is not None:
+        return traj, EnvCarry(**c_out), rec_out
     return traj, EnvCarry(**c_out)

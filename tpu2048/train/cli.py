@@ -90,6 +90,11 @@ def _add_train_flags(p: argparse.ArgumentParser) -> None:
         help="Packed mode: number of persistent env lanes (0 -> --episodes)")
     add("--horizon", type=int, default=512,
         help="Packed mode: env steps per lane per train step")
+    add("--no-packed-capture", dest="packed_capture", action="store_false",
+        default=True,
+        help="Packed mode: disable the device-side best-episode recorder "
+             "(algo/capture.py) that feeds printing/viz/demo export; saves "
+             "lanes x scan-cap x 41 B of HBM at extreme lane counts")
     add("--checkpoint-freq", dest="checkpoint_freq", type=int, default=None)
     add("--mesh-data", dest="mesh_data", type=int, default=1,
         help="Data-parallel mesh size (>1 routes through the SPMD trainer)")

