@@ -144,3 +144,270 @@ def test_js_model_format_matches_encoding(rng):
     for g in _boards(rng, n=32):
         ours = np.asarray(encode_boards(jnp.asarray([g], jnp.int32)))[0]
         np.testing.assert_allclose(model_format_of_js(g), ours, atol=1e-6)
+
+
+# ===========================================================================
+# model.js pinning (VERDICT r4 item 8 — masking + stable softmax + sampling
+# + the 1-ply expectimax, the bug-prone parts; reference analog
+# docs/js/model.js:65-156) and ui.js decision logic.
+# ===========================================================================
+
+MODEL_JS = GAME_JS.parent / "model.js"
+UI_JS = GAME_JS.parent / "ui.js"
+
+MODEL_JS_SHA256 = "059a147a1a79ff7d7b25460e998fd50070e9d880277521bef2909ee8bfa7d010"
+UI_JS_SHA256 = "f344efed2e74882e31042356ebed4134fde5e44e34483646b03bf5d1ac954261"
+
+
+def test_model_js_pinned_to_transliteration():
+    digest = hashlib.sha256(MODEL_JS.read_bytes()).hexdigest()
+    assert digest == MODEL_JS_SHA256, (
+        "web/js/model.js changed — update the transliterations below "
+        f"to match, re-run, then bump MODEL_JS_SHA256 to {digest}"
+    )
+
+
+def test_ui_js_pinned_to_transliteration():
+    digest = hashlib.sha256(UI_JS.read_bytes()).hexdigest()
+    assert digest == UI_JS_SHA256, (
+        "web/js/ui.js changed — update the transliterations below "
+        f"to match, re-run, then bump UI_JS_SHA256 to {digest}"
+    )
+
+
+# ---- transliteration of model.js (same names, same control flow) ----
+
+def masked_probs_js(logits, legal_dirs):
+    """GameModel.maskedProbs (model.js:31-39)."""
+    import math
+
+    masked = [logits[d] if d in legal_dirs else -math.inf for d in range(4)]
+    mx = max(masked)
+    exps = [math.exp(x - mx) for x in masked]
+    z = sum(exps)
+    return [e / z for e in exps]
+
+
+def sample_js(probs, u):
+    """GameModel.sample (model.js:41-48), with Math.random() made explicit."""
+    for d in range(len(probs)):
+        u -= probs[d]
+        if u <= 0:
+            return d
+    return probs.index(max(probs))
+
+
+def pair_count_js(g):
+    """pairCount (model.js:67-76)."""
+    n = 0
+    for r in range(4):
+        for c in range(3):
+            if g[r][c] > 0 and g[r][c + 1] > 0 and g[r][c] >= g[r][c + 1]:
+                n += 1
+    for r in range(3):
+        for c in range(4):
+            if g[r][c] > 0 and g[r + 1][c] > 0 and g[r][c] >= g[r + 1][c]:
+                n += 1
+    return n
+
+
+def rotate_cw_js(g):
+    """rotateCW (model.js:78-82)."""
+    o = [[0] * 4 for _ in range(4)]
+    for r in range(4):
+        for c in range(4):
+            o[c][3 - r] = g[r][c]
+    return o
+
+
+def monotonicity_js(g):
+    """monotonicity (model.js:87-100)."""
+    best = pair_count_js(g)
+    b = g
+    for _ in range(3):
+        b = rotate_cw_js(b)
+        best = max(best, pair_count_js(b))
+    maxv, idx = -1, 0
+    for r in range(4):
+        for c in range(4):
+            if g[r][c] > maxv:
+                maxv, idx = g[r][c], r * 4 + c
+    corner = idx in (0, 3, 12, 15)
+    return best * 2 if corner else best // 2
+
+
+def emptiness_js(g):
+    """emptiness (model.js:102-106)."""
+    return sum(1 for row in g for v in row if not v)
+
+
+def expectimax_move_js(predict, grid, coefs):
+    """expectimaxMove (model.js:124-161) with the async model call replaced
+    by a synchronous ``predict(vec48) -> (logits, value)`` callable."""
+    points = coefs.get("points", 0)
+    mono = coefs.get("mono", 0)
+    empt = coefs.get("empt", 0)
+    sigma = coefs.get("sigma", 1)
+    mu = coefs.get("mu", 0)
+    gamma = coefs.get("gamma", 0.99)
+    legal = [d for d in range(4) if simulate_js(grid, d)[2]]
+    if not legal:
+        return None
+    scores = [float("nan")] * 4
+    for d in legal:
+        merged, pts, _ = simulate_js(grid, d)
+        phi_m = mono * monotonicity_js(merged) + empt * emptiness_js(merged)
+        empties = [(r, c) for r in range(4) for c in range(4)
+                   if not merged[r][c]]
+        ev = 0.0
+        for (r, c) in empties:
+            for exp, pr in ((1, 0.9), (2, 0.1)):
+                merged[r][c] = exp
+                contrib = 0.0
+                if any(simulate_js(merged, dd)[2] for dd in range(4)):
+                    _, value = predict(model_format_of_js(merged))
+                    contrib = phi_m + sigma * value + mu
+                ev += (pr / len(empties)) * contrib
+                merged[r][c] = 0
+        scores[d] = points * pts + gamma * ev
+    action = legal[0]
+    for d in legal:
+        if scores[d] > scores[action]:
+            action = d
+    return action, scores
+
+
+def test_masked_probs_matches_policy_math(rng):
+    """model.js's maskedProbs must equal the training stack's masked softmax
+    (algo/rollout.py masked_policy) for every legal subset."""
+    import itertools
+
+    import jax.numpy as jnp
+
+    from tpu2048.algo.rollout import masked_policy
+
+    for _ in range(50):
+        logits = rng.normal(scale=5.0, size=4)
+        for k in range(1, 5):
+            for legal in itertools.combinations(range(4), k):
+                js = masked_probs_js(list(logits), set(legal))
+                invalid = np.ones(4, bool)
+                invalid[list(legal)] = False
+                masked, logprobs, _ = masked_policy(
+                    jnp.asarray(logits, jnp.float32)[None],
+                    jnp.asarray(invalid)[None])
+                ours = np.exp(np.asarray(logprobs)[0])
+                np.testing.assert_allclose(js, ours, atol=1e-5)
+                assert abs(sum(js) - 1.0) < 1e-9
+
+
+def test_sample_js_is_inverse_cdf():
+    probs = [0.1, 0.4, 0.25, 0.25]
+    cdf = np.cumsum(probs)
+    for u in np.linspace(1e-9, 1 - 1e-9, 997):
+        expected = int(np.searchsorted(cdf, u, side="left"))
+        assert sample_js(probs, float(u)) == expected
+    # degenerate tail (float underflow leaves u > 0 after all buckets):
+    # falls back to argmax, never raises
+    assert sample_js([0.3, 0.3, 0.3], 0.9999999) == 0
+
+
+def test_model_js_heuristics_match_python(rng):
+    for g in _boards(rng, n=100):
+        assert monotonicity_js(g) == oracle.monotonicity(g), g
+        assert emptiness_js(g) == oracle.emptiness(g), g
+
+
+def test_expectimax_move_js_matches_search(rng):
+    """The browser's 1-ply expectimax (model.js expectimaxMove) must agree
+    with algo/search.py::expectimax_scores(depth=1) — same shaped Bellman
+    backup, same dead-child zeroing — on random boards with a real critic."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpu2048.algo import search as SRCH
+    from tpu2048.models import MLPConfig, mlp
+    from tpu2048.models.encoding import encode_boards
+
+    cfg = MLPConfig(hidden_dim=32, num_layers=1)
+    params = mlp.init(jax.random.key(5), cfg, zero_heads=False)
+    apply_fn = lambda p, x: mlp.apply(p, cfg, x)
+
+    def predict(vec48):
+        logits, value = apply_fn(params, jnp.asarray([vec48], jnp.float32))
+        return np.asarray(logits)[0], float(np.asarray(value)[0, 0])
+
+    coefs = SRCH.SearchCoefs(points=0.1, mono=1.0, empt=0.5, sigma=79.4,
+                             mu=138.0, gamma=0.995)
+    js_coefs = dict(points=0.1, mono=1.0, empt=0.5, sigma=79.4, mu=138.0,
+                    gamma=0.995)
+
+    boards = [g for g in _boards(rng, n=12) if oracle.legal_directions(g)]
+    scores = np.asarray(SRCH.expectimax_scores(
+        apply_fn, params, jnp.asarray(boards, jnp.int32), depth=1,
+        coefs=coefs))
+    for g, ours in zip(boards, scores):
+        out = expectimax_move_js(predict, [row[:] for row in g], js_coefs)
+        assert out is not None
+        action, js_scores = out
+        legal = oracle.legal_directions(g)
+        for d in legal:
+            np.testing.assert_allclose(js_scores[d], ours[d], rtol=2e-4,
+                                       atol=2e-3, err_msg=f"{g} dir {d}")
+        assert action == int(np.nanargmax(
+            [js_scores[d] if d in legal else -np.inf for d in range(4)]))
+
+
+# ---- ui.js decision logic ----
+
+SPEEDS_MS = [1200, 600, 300, 150, 75, 40, 20, 10, 5, 0]
+KEYMAP = {"ArrowUp": 0, "w": 0, "W": 0, "ArrowDown": 1, "s": 1, "S": 1,
+          "ArrowLeft": 2, "a": 2, "A": 2, "ArrowRight": 3, "d": 3, "D": 3}
+
+
+def test_ui_js_speed_table_and_keymap_in_source():
+    """The SPEEDS table and the key->direction map are parsed straight out
+    of ui.js and compared to the pinned semantics (direction order
+    UP/DOWN/LEFT/RIGHT = 0..3, matching model.directions in the reference,
+    game.py:1087-1092)."""
+    import re
+
+    src = UI_JS.read_text()
+    ms = [int(m) for m in re.findall(r"ms:\s*(\d+)", src)]
+    assert ms == SPEEDS_MS
+    km = dict(re.findall(r"(\w+):\s*([0-3])(?:,|\s|})", 
+              re.search(r"const keys = \{(.*?)\};", src, re.S).group(1)))
+    assert {k: int(v) for k, v in km.items()} == KEYMAP
+
+
+def step_once_replay_js(replay, replay_idx):
+    """UIController.stepOnce, replay branch (ui.js:172-178)."""
+    if not replay or replay_idx >= len(replay["moves"]) - 1:
+        return False, replay_idx
+    return True, replay_idx + 1
+
+
+def replay_cum_score_js(moves, replay_idx):
+    """renderReplay's cumulative score (ui.js:210-212)."""
+    cum = 0
+    for i in range(replay_idx + 1):
+        cum += moves[i].get("points_earned", 0)
+    return cum
+
+
+def test_ui_js_replay_state_machine():
+    replay = {"moves": [{"points_earned": p} for p in (0, 4, 0, 8, 16)]}
+    idx = 0
+    seen = []
+    while True:
+        more, idx = step_once_replay_js(replay, idx)
+        seen.append(idx)
+        if not more:
+            break
+    # advances once per tick, stops AT the final move, never past it
+    assert seen == [1, 2, 3, 4, 4]
+    assert replay_cum_score_js(replay["moves"], 4) == 28
+    assert replay_cum_score_js(replay["moves"], 0) == 0
+    # empty replay: play never starts
+    assert step_once_replay_js(None, 0) == (False, 0)
+    assert step_once_replay_js({"moves": []}, 0) == (False, 0)
