@@ -310,3 +310,21 @@ def test_load_search_coefs_unexpected_error_propagates(tmp_path, monkeypatch):
     monkeypatch.setattr(EV.json, "load", boom)
     with pytest.raises(RuntimeError, match="unexpected"):
         EV.load_search_coefs(tmp_path)
+
+
+def test_run_search_eval_bf16_close_to_fp32():
+    """--search-bf16 (round 5): bfloat16 critic leaves give the same eval
+    within near-tie noise on a short fixed-stream run — same env stream,
+    deterministic action argmax, so any drift is bf16 score reordering."""
+    from tpu2048.train.evaluate import run_search_eval
+
+    mc = MLPConfig(hidden_dim=32, num_layers=1)
+    params = mlp.init(jax.random.key(5), mc, zero_heads=False)
+    a = run_search_eval(params, mc, "mlp", games=4, max_steps=80,
+                        env_seed=99, depth=1)
+    b = run_search_eval(params, mc, "mlp", games=4, max_steps=80,
+                        env_seed=99, depth=1, bf16=True)
+    # identical env stream; scores agree unless a near-tie flipped a move
+    ra, rb = np.asarray(a["scores"]), np.asarray(b["scores"])
+    assert (ra == rb).mean() >= 0.5, (ra, rb)
+    assert abs(a["avg_score"] - b["avg_score"]) / max(a["avg_score"], 1) < 0.5

@@ -103,3 +103,26 @@ def test_search_mode(ckpt_dir):
     a1 = svc.predict(np.asarray(board), search=1)["action"]
     a2 = svc.predict(np.asarray(board), search=1)["action"]
     assert a1 == a2
+
+
+def test_search_mode_depth3(ckpt_dir):
+    """Depth-3 serving (round 5): prune-2 inner nodes, chunked batches —
+    the per-move scorer shape the depth-3 eval host loop validated."""
+    from tpu2048.serve import PolicyService
+
+    svc = PolicyService(str(ckpt_dir))
+    board = [[1, 0, 0, 0], [0, 2, 0, 0], [0, 0, 0, 0], [0, 0, 0, 1]]
+    legal = oracle.legal_directions(board)
+    out = svc.predict(np.asarray(board), search=3)
+    assert out["action"] in legal
+    finite = {d: s for d, s in enumerate(out["search_scores"])
+              if s is not None}
+    assert set(finite) == set(legal)
+    assert out["action"] == max(finite, key=finite.get)
+
+    # Batch larger than the depth-3 chunk: results equal per-board calls.
+    boards = np.asarray([board] * (svc.DEPTH3_CHUNK + 3), np.int32)
+    got = svc.predict(boards, search=3)
+    assert got["actions"] == [out["action"]] * len(boards)
+    # search clamps at 3
+    assert svc.predict(np.asarray(board), search=7)["action"] in legal

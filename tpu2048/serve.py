@@ -11,11 +11,15 @@ JAX model directly, batched, from a checkpoint):
   POST /predict_batch {"boards": [[[...]], ...]} -> {"actions": [...], ...}
   GET  /healthz   -> {"status": "ok", "model": {...}}
 
-``"search": 1`` or ``2`` selects the move by expectimax search of that depth
-(algo/search.py; exact chance nodes, critic leaves) instead of the raw
+``"search": 1``/``2``/``3`` selects the move by expectimax search of that
+depth (algo/search.py; exact chance nodes, critic leaves) instead of the raw
 policy — the response carries the per-action ``search_scores`` alongside the
 policy's probs/value. Search coefficients come from the checkpoint's RTG
 moments when present (pure-EV fallback otherwise, like evaluate --search).
+Depth 3 applies the evaluate path's tractability guards: inner max nodes
+pruned to the top-2 actions by 1-ply score, and batch requests chunked to 16
+boards per device program (one request == one bounded per-move scorer call,
+the shape the depth-3 host loop validated on the v5e).
 
 Usage: python -m tpu2048.serve --checkpoint checkpoints [--port 8787]
 """
@@ -66,15 +70,30 @@ class PolicyService:
         self._search_coefs = load_search_coefs(checkpoint_path)
         self._search_fns = {}  # depth -> jitted scorer
 
+    # Depth-3 guards, mirroring evaluate's run_search_eval: the exact inner
+    # tree is (4*32)^2 subproblems per board — prune_k=2 makes it tractable,
+    # and the per-call batch is capped so one large /predict_batch request
+    # cannot OOM the chip (each chunk is one bounded device program; serve
+    # already runs one move per request, the shape the depth-3 host loop
+    # validated).
+    DEPTH3_PRUNE_K = 2
+    DEPTH3_CHUNK = 16
+
     def _search_scores(self, boards: jnp.ndarray, depth: int) -> np.ndarray:
         if depth not in self._search_fns:
             from .algo import search as SRCH
 
             coefs = self._search_coefs
+            prune_k = self.DEPTH3_PRUNE_K if depth >= 3 else 0
             self._search_fns[depth] = jax.jit(
                 lambda p, b: SRCH.expectimax_scores(
-                    self._apply, p, b, None, coefs, depth))
-        return np.asarray(self._search_fns[depth](self.params, boards))
+                    self._apply, p, b, None, coefs, depth, prune_k))
+        fn = self._search_fns[depth]
+        if depth >= 3 and boards.shape[0] > self.DEPTH3_CHUNK:
+            return np.concatenate([
+                np.asarray(fn(self.params, boards[i:i + self.DEPTH3_CHUNK]))
+                for i in range(0, boards.shape[0], self.DEPTH3_CHUNK)])
+        return np.asarray(fn(self.params, boards))
 
     def info(self) -> dict:
         return {"model_type": self.model_type, "config": self.model_cfg.to_dict()}
@@ -89,7 +108,7 @@ class PolicyService:
         probs, value, legal = map(np.asarray, (probs, value, legal))
         search_scores = None
         if search:
-            depth = max(1, min(int(search), 2))
+            depth = max(1, min(int(search), 3))
             search_scores = self._search_scores(jnp.asarray(boards), depth)
             actions = search_scores.argmax(-1)
         elif greedy:

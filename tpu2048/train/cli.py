@@ -198,7 +198,8 @@ def cmd_evaluate(args) -> None:
     evaluate_checkpoint(args.model_path, games=args.games, seed=args.seed,
                         greedy=args.greedy, env_seed=args.env_seed,
                         search=args.search, search_depth=args.search_depth,
-                        search_prune=args.search_prune)
+                        search_prune=args.search_prune,
+                        search_bf16=getattr(args, "search_bf16", False))
 
 
 def cmd_export_demo(args) -> None:
@@ -332,6 +333,12 @@ def main(argv=None) -> None:
                              "Only takes effect at depth >= 3 (inner max "
                              "nodes don't exist below that); forced to 2 "
                              "when depth 3 is requested without it")
+    p_eval.add_argument("--search-bf16", dest="search_bf16",
+                        action="store_true",
+                        help="Run the search's critic leaf forwards in "
+                             "bfloat16 (~2x ms/move at depth 3; the "
+                             "expert_bf16 lever applied to eval — flips "
+                             "only near-tie action choices)")
     p_eval.set_defaults(fn=cmd_evaluate)
 
     p_exp = sub.add_parser("export-demo", help="Export demo assets for the web UI")

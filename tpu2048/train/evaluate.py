@@ -196,7 +196,8 @@ def _search_play_host(apply_eval, params, n: int, max_steps: int, env_key,
 
 def run_search_eval(params, model_cfg, model_type, games: int,
                     max_steps: int = 4096, env_seed: int = 12345,
-                    coefs=None, depth: int = 1, prune_k: int = 0) -> dict:
+                    coefs=None, depth: int = 1, prune_k: int = 0,
+                    bf16: bool = False) -> dict:
     """Expectimax (exact chance nodes, critic leaves) evaluation —
     deterministic given the env stream.
 
@@ -213,10 +214,24 @@ def run_search_eval(params, model_cfg, model_type, games: int,
     scorer: jitting the whole depth-3 tree (two nested ``lax.map`` sweeps)
     inside the game ``while_loop`` crash-restarts the v5e TPU worker even at
     8 concurrent games — the host loop bounds device-program size per move
-    and is deterministic on the same env stream."""
+    and is deterministic on the same env stream.
+
+    ``bf16=True`` runs the critic leaf forwards in bfloat16 — the same lever
+    as rollout's ``expert_bf16`` (leaf evals dominate the tree; bf16 doubles
+    their MXU rate at depth 3). Action choice flips only where the top-2
+    root scores sit within bf16 noise — near-ties where either move is
+    defensible."""
     from ..algo import search as SRCH
 
     apply_eval = _apply_fn(model_cfg, model_type)
+    if bf16:
+        _inner = apply_eval
+        apply_eval = lambda p, x: _inner(p, x.astype(jnp.bfloat16))
+        params = jax.tree.map(
+            lambda a: (a.astype(jnp.bfloat16)
+                       if jnp.issubdtype(jnp.asarray(a).dtype, jnp.floating)
+                       else a),
+            params)
     chunk = min(games, 256 if depth <= 1 else (32 if depth == 2 else 16))
     scores_l, tiles_l = [], []
     base = jax.random.key(env_seed)
@@ -254,7 +269,8 @@ def run_search_eval(params, model_cfg, model_type, games: int,
 def evaluate_checkpoint(path, games: int = 100, seed: int = 0,
                         greedy: bool = False, env_seed: int = 12345,
                         search: bool = False, search_depth: int = 1,
-                        search_prune: int = 0) -> dict:
+                        search_prune: int = 0,
+                        search_bf16: bool = False) -> dict:
     params, mc, mt = load_model_checkpoint(path)
     print(f"Evaluating model from: {path}")
     print(f"Running {games} evaluation games...")
@@ -267,7 +283,7 @@ def evaluate_checkpoint(path, games: int = 100, seed: int = 0,
               f"mu={coefs.mu:.3g}, gamma={coefs.gamma:.3g})")
         m = run_search_eval(params, mc, mt, games, env_seed=env_seed,
                             coefs=coefs, depth=search_depth,
-                            prune_k=search_prune)
+                            prune_k=search_prune, bf16=search_bf16)
     else:
         m = run_eval(params, mc, mt, games, seed=seed, greedy=greedy,
                      env_seed=env_seed)
