@@ -517,3 +517,38 @@ def test_imitation_sharp_targets(rng):
         kl_strength=0.0, critic_strength=0.0, target_probs=uniform,
         sharp=True)[0])(logits)
     np.testing.assert_allclose(np.asarray(g), 0.0, atol=1e-7)
+
+
+def test_associative_rtg_matches_sequential_scan():
+    """returns_to_go is evaluated as a parallel suffix scan on TPU (round 5,
+    log-depth instead of T sequential kernels); it must agree with the
+    literal backward lax.scan to fp32 roundoff on long mixed-validity
+    trajectories."""
+    import jax
+
+    rng = np.random.default_rng(0)
+    T, N = 384, 64
+    rewards = jnp.asarray(rng.normal(scale=3.0, size=(T, N)), jnp.float32)
+    valid = jnp.asarray(rng.random((T, N)) < 0.9)
+    for gamma in (0.9, 0.99, 1.0):
+        a = np.asarray(A.returns_to_go(rewards, valid, gamma))
+        b = np.asarray(A.returns_to_go_sequential(rewards, valid, gamma))
+        np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-4)
+
+
+def test_associative_rtg_packed_matches_sequential_scan():
+    import jax
+
+    rng = np.random.default_rng(1)
+    T, N = 384, 64
+    rewards = jnp.asarray(rng.normal(scale=3.0, size=(T, N)), jnp.float32)
+    done = jnp.asarray(rng.random((T, N)) < 0.02)
+    boot = jnp.asarray(rng.normal(scale=5.0, size=(N,)), jnp.float32)
+    for gamma in (0.9, 0.995):
+        a = np.asarray(A.returns_to_go_packed(rewards, done, gamma, boot))
+        b = np.asarray(A.returns_to_go_packed_sequential(
+            rewards, done, gamma, boot))
+        np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-4)
+        # segment semantics: a done step's G is exactly its own reward + 0
+        d = np.asarray(done)
+        np.testing.assert_allclose(a[d], np.asarray(rewards)[d], rtol=1e-6)

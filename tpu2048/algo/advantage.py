@@ -66,10 +66,42 @@ def step_rewards(points, mono_before, mono_after, empt_before, empt_after,
     return r
 
 
+def _affine_suffix_scan(a: jnp.ndarray, b: jnp.ndarray) -> tuple:
+    """Parallel suffix composition of per-step affine maps f_t(G) = a_t*G +
+    b_t along axis 0: returns (A, B) with (A_t, B_t) = f_t o f_{t+1} o ...
+    o f_{T-1}, so G_t = A_t * G_T + B_t.
+
+    The discounted return is a first-order linear recurrence; lax.scan runs
+    it as T sequential tiny kernels (the per-iteration launch latency class
+    that dominates small-batch TPU steps), while associative_scan runs
+    ~2*log2(T) passes of large elementwise ops — the XLA-native shape for
+    this hardware. Composition order inside the tree differs from the
+    sequential evaluation, so results agree to fp32 roundoff, not bitwise
+    (tests pin the tolerance against the sequential reference)."""
+    def comb(lhs, rhs):
+        # reverse=True flips, scans, flips back: lhs is the LATER step in
+        # time, rhs the earlier — so the earlier map applies after:
+        # (f_rhs o f_lhs)(x) = ra*(la*x + lb) + rb.
+        (la, lb), (ra, rb) = lhs, rhs
+        return la * ra, rb + ra * lb
+
+    return jax.lax.associative_scan(comb, (a, b), reverse=True, axis=0)
+
+
 def returns_to_go(rewards: jnp.ndarray, valid: jnp.ndarray, gamma: float) -> jnp.ndarray:
-    """Discounted backward scan per env: G_t = r_t + gamma*G_{t+1}
-    (train.py:721-728). rewards/valid: (T, N); steps past the episode end have
-    reward 0 so the tail contributes nothing."""
+    """Discounted backward accumulation per env: G_t = r_t + gamma*G_{t+1}
+    (train.py:721-728), evaluated as a parallel suffix scan (see
+    _affine_suffix_scan). rewards/valid: (T, N); steps past the episode end
+    have reward 0 so the tail contributes nothing."""
+    r = jnp.where(valid, rewards, 0.0)
+    _, G = _affine_suffix_scan(jnp.full_like(r, gamma), r)
+    return G
+
+
+def returns_to_go_sequential(rewards: jnp.ndarray, valid: jnp.ndarray,
+                             gamma: float) -> jnp.ndarray:
+    """The literal backward lax.scan form of :func:`returns_to_go` — kept as
+    the semantic reference the parallel version is tested against."""
     r = jnp.where(valid, rewards, 0.0)
 
     def back(G, r_t):
@@ -99,7 +131,22 @@ def returns_to_go_packed(rewards: jnp.ndarray, done_here: jnp.ndarray,
     of the state AFTER the last recorded step — the cut tail of an episode
     spanning the chunk boundary is valued by the critic instead of dropped.
     Lanes whose last step was terminal never read it (done zeroes the carry).
+
+    Evaluated as a parallel suffix scan over the per-step affine maps
+    G_t = a_t*G_{t+1} + r_t with a_t = gamma*(1 - done_t) — the episode cut
+    at a done step zeroes the downstream composition exactly, so segment
+    boundaries need no special casing (see _affine_suffix_scan).
     """
+    a = jnp.where(done_here, 0.0, gamma)
+    A, B = _affine_suffix_scan(a, rewards.astype(jnp.float32))
+    return A * bootstrap + B
+
+
+def returns_to_go_packed_sequential(rewards: jnp.ndarray,
+                                    done_here: jnp.ndarray, gamma: float,
+                                    bootstrap: jnp.ndarray) -> jnp.ndarray:
+    """The literal backward lax.scan form of :func:`returns_to_go_packed` —
+    kept as the semantic reference the parallel version is tested against."""
     def back(G, x):
         r, d = x
         G = r + gamma * jnp.where(d, 0.0, G)

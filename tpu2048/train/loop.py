@@ -490,9 +490,13 @@ def fetch_packed_episode(rec, heur_fn=None, mono_fn=None) -> Optional[dict]:
 
     mono_b = mono_a = empt_b = empt_a = maxc = None
     if mono_fn is not None:
+        # Full-cap fixed-shape call: slicing to [:n] here would retrace the
+        # jit for every distinct episode length — early training sets a new
+        # high almost every step, and per-step recompiles were measured to
+        # 5x the whole train step (round 5, expG launch).
         mono_b, mono_a, empt_b, empt_a, maxc = (
-            np.asarray(x) for x in mono_fn(rec.best_before[:n],
-                                           rec.best_action[:n]))
+            np.asarray(x)[:n] for x in mono_fn(rec.best_before,
+                                               rec.best_action))
         if true_len == n:  # untruncated: last move is terminal
             mono_a = mono_a.copy()
             empt_a = empt_a.copy()
@@ -500,8 +504,8 @@ def fetch_packed_episode(rec, heur_fn=None, mono_fn=None) -> Optional[dict]:
             empt_a[-1] = 0
     heur = None
     if heur_fn is not None:
-        full = heur_fn(rec.best_before[:n], rec.best_action[:n])
-        heur = {k: np.asarray(v) for k, v in full.items()}
+        full = heur_fn(rec.best_before, rec.best_action)  # fixed shape
+        heur = {k: np.asarray(v)[:n] for k, v in full.items()}
 
     moves = []
     for t in range(n):
