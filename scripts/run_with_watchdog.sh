@@ -7,11 +7,13 @@
 # client PID tree we started (never pattern-kill), give the attachment ~2
 # minutes to recover, and relaunch with --resume.
 #
-# Usage: scripts/run_with_watchdog.sh <logfile-to-watch> <stall-secs> \
+# Usage: scripts/run_with_watchdog.sh <logfile-glob-to-watch> <stall-secs> \
 #          <total-deadline-epoch> -- <training command...>
 # The training command must be resume-safe (all scripts/train_*.sh are).
+# The watch target is a GLOB resolved to the newest match on every check —
+# each resume opens a fresh train_*.jsonl, so a fixed path would go stale.
 set -u
-WATCH_FILE="$1"; STALL="$2"; DEADLINE="$3"; shift 3
+WATCH_GLOB="$1"; STALL="$2"; DEADLINE="$3"; shift 3
 [ "$1" = "--" ] && shift
 
 while [ "$(date +%s)" -lt "$DEADLINE" ]; do
@@ -20,7 +22,8 @@ while [ "$(date +%s)" -lt "$DEADLINE" ]; do
   echo "[watchdog] launched pid=$PID: $*" >&2
   while kill -0 "$PID" 2>/dev/null; do
     sleep 60
-    if [ -f "$WATCH_FILE" ]; then
+    WATCH_FILE=$(ls -t $WATCH_GLOB 2>/dev/null | head -1)
+    if [ -n "$WATCH_FILE" ] && [ -f "$WATCH_FILE" ]; then
       AGE=$(( $(date +%s) - $(stat -c %Y "$WATCH_FILE") ))
       if [ "$AGE" -gt "$STALL" ]; then
         echo "[watchdog] $WATCH_FILE stale ${AGE}s > ${STALL}s: killing $PID tree" >&2
